@@ -1,0 +1,359 @@
+"""Typed configuration tree for the TPU-native VOS framework.
+
+TPU-first redesign of the reference's global ``AttrDict`` config
+(reference: lib/core/config.py, ~1100 lines of mutable global defaults).
+We keep the same *section names and semantics* (MODEL / RESNETS / FPN / RPN /
+FAST_RCNN / MRCNN / TRAIN / TEST / SOLVER) so reference YAML experiment files
+map 1:1, but the implementation is immutable frozen dataclasses: a config is
+a value you pass around, never a process-global — required for jit-safety
+(configs become static Python constants captured at trace time).
+
+Extra sections vs reference: ``VOS`` (propagation / association / track
+limits — fork-added capability, SURVEY.md §2.2 Tier C) and ``PARALLEL``
+(mesh axes for pjit, replacing the reference's mynn.DataParallel).
+
+All *shape-determining* values (max proposals, max detections, max tracks,
+pooled sizes, image padding) live here because XLA requires static shapes:
+the reference's dynamic per-image box counts become fixed maxima + validity
+masks everywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Optional, Sequence, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Sections
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ModelCfg:
+    """Reference: cfg.MODEL (lib/core/config.py)."""
+
+    type: str = "generalized_rcnn"
+    # Builder string, mirroring reference MODEL.CONV_BODY values such as
+    # 'FPN.fpn_ResNet50_conv5_body' / 'ResNet.ResNet50_conv4_body'.
+    conv_body: str = "fpn_resnet50"  # "resnet50_c4" | "fpn_resnet50"
+    num_classes: int = 81  # COCO default; DAVIS fine-tune overrides
+    mask_on: bool = True
+    # Bbox regression weights — Detectron (10, 10, 5, 5).
+    bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    cls_agnostic_bbox_reg: bool = False
+
+
+@dataclass(frozen=True)
+class ResNetsCfg:
+    """Reference: cfg.RESNETS."""
+
+    depth: int = 50
+    num_groups: int = 1
+    width_per_group: int = 64
+    stem_width: int = 64
+    freeze_at: int = 2  # freeze stem + res2 during fine-tune
+    # Frozen BatchNorm everywhere (AffineChannel2d in the reference —
+    # lib/nn/modules/affine.py): scale/bias folded, no batch stats.
+    res5_dilation: int = 1
+
+
+@dataclass(frozen=True)
+class FPNCfg:
+    """Reference: cfg.FPN."""
+
+    enabled: bool = True
+    dim: int = 256
+    min_level: int = 2  # P2
+    max_level: int = 6  # P6 (extra max-pool level for RPN)
+    rpn_min_level: int = 2
+    rpn_max_level: int = 6
+    roi_min_level: int = 2
+    roi_max_level: int = 5
+    # FPN level assignment k = floor(k0 + log2(sqrt(wh)/224))
+    roi_canonical_scale: int = 224
+    roi_canonical_level: int = 4
+
+
+@dataclass(frozen=True)
+class RPNCfg:
+    """Reference: cfg.RPN + cfg.TRAIN/TEST RPN_* keys."""
+
+    # Anchors. Single-scale (C4): sizes (32..512) stride 16.
+    # FPN: one size per level: 32 on P2 ... 512 on P6.
+    aspect_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    anchor_start_size: int = 32  # FPN: size at min_level, doubling per level
+    sizes: Tuple[int, ...] = (32, 64, 128, 256, 512)  # C4 single-scale
+    stride: int = 16  # C4 feature stride
+
+    # Proposal filtering (train/test variants, Detectron semantics).
+    pre_nms_top_n_train: int = 2000  # per FPN level (12000 for C4)
+    pre_nms_top_n_test: int = 1000  # per FPN level (6000 for C4)
+    post_nms_top_n_train: int = 2000
+    post_nms_top_n_test: int = 1000
+    nms_thresh: float = 0.7
+    min_size: float = 0.0
+
+    # Target assignment (lib/roi_data/rpn.py).
+    positive_overlap: float = 0.7
+    negative_overlap: float = 0.3
+    fg_fraction: float = 0.5
+    batch_size_per_im: int = 256
+    straddle_thresh: int = 0  # anchors outside image by > this are ignored
+
+
+@dataclass(frozen=True)
+class FastRCNNCfg:
+    """Reference: cfg.FAST_RCNN."""
+
+    roi_box_head: str = "roi_2mlp_head"  # FPN default; "roi_conv5_head" for C4
+    mlp_head_dim: int = 1024
+    roi_xform_method: str = "roi_align"  # roi_align | roi_pool
+    roi_xform_resolution: int = 7
+    roi_xform_sampling_ratio: int = 2
+
+    # Training target sampling (lib/roi_data/fast_rcnn.py).
+    batch_size_per_im: int = 512
+    fg_fraction: float = 0.25
+    fg_thresh: float = 0.5
+    bg_thresh_hi: float = 0.5
+    bg_thresh_lo: float = 0.0
+
+
+@dataclass(frozen=True)
+class MRCNNCfg:
+    """Reference: cfg.MRCNN."""
+
+    roi_mask_head: str = "mask_rcnn_fcn_head_v1up4convs"
+    resolution: int = 28
+    roi_xform_resolution: int = 14
+    roi_xform_sampling_ratio: int = 2
+    dim_reduced: int = 256
+    conv_layers: int = 4
+    thresh_binarize: float = 0.5
+
+
+@dataclass(frozen=True)
+class TrainCfg:
+    """Reference: cfg.TRAIN."""
+
+    datasets: Tuple[str, ...] = ("davis_2017_train",)
+    scales: Tuple[int, ...] = (800,)
+    max_size: int = 1333
+    ims_per_batch: int = 2  # per device
+    use_flipped: bool = True
+    snapshot_iters: int = 2000
+    # Static padded image shape for the jitted train step (H, W).
+    # All images are resized(shortest side = scale, capped max_size) then
+    # padded to this; must be divisible by 2**fpn.max_level.
+    padded_image_size: Tuple[int, int] = (832, 1344)
+    # Fixed-shape maxima (validity-masked). Replaces dynamic numpy sampling.
+    max_gt_instances: int = 32
+    freeze_conv_body: bool = False
+    double_buffer: bool = True
+
+
+@dataclass(frozen=True)
+class TestCfg:
+    """Reference: cfg.TEST (+ SOFT_NMS / BBOX_AUG subsets we support)."""
+
+    datasets: Tuple[str, ...] = ("davis_2017_val",)
+    scale: int = 800
+    max_size: int = 1333
+    padded_image_size: Tuple[int, int] = (832, 1408)
+    score_thresh: float = 0.05
+    nms: float = 0.5
+    detections_per_im: int = 100
+    soft_nms_enabled: bool = False
+    soft_nms_method: str = "linear"
+    soft_nms_sigma: float = 0.5
+    # Fixed-shape maxima.
+    max_proposals: int = 1000  # RoIs entering box head at test time
+
+
+@dataclass(frozen=True)
+class SolverCfg:
+    """Reference: cfg.SOLVER."""
+
+    type: str = "SGD"
+    base_lr: float = 0.0025
+    momentum: float = 0.9
+    weight_decay: float = 0.0001
+    gamma: float = 0.1
+    lr_policy: str = "steps_with_decay"
+    steps: Tuple[int, ...] = (0, 12000, 16000)
+    max_iter: int = 18000
+    warm_up_iters: int = 500
+    warm_up_factor: float = 1.0 / 3.0
+    warm_up_method: str = "linear"
+    bias_double_lr: bool = True
+    bias_weight_decay: bool = False
+    clip_grad_norm: float = 0.0  # 0 = off
+
+
+@dataclass(frozen=True)
+class VOSCfg:
+    """Video-object-segmentation (fork-added capability; SURVEY.md §3.3).
+
+    Governs the per-sequence lax.scan engine: propagation of track masks
+    from frame t-1 to t and association of per-frame detections to tracks.
+    """
+
+    max_tracks: int = 16  # DAVIS-2017 has <= 10 objects/sequence
+    max_dets_per_frame: int = 32
+    # Association score = w_iou * mask-IoU(propagated, detected)
+    #                   + w_emb * cosine(track_emb, det_emb)
+    assoc_iou_weight: float = 0.7
+    assoc_emb_weight: float = 0.3
+    assoc_score_thresh: float = 0.15
+    # Track state masks kept at low resolution for the scan carry.
+    track_mask_size: Tuple[int, int] = (120, 216)
+    emb_dim: int = 128
+    new_track_thresh: float = 0.7  # detection score to spawn a track (unsup)
+    semi_supervised: bool = True  # DAVIS protocol: first-frame GT instances
+    miss_tolerance: int = 10  # frames a track may go unmatched before retire
+
+
+@dataclass(frozen=True)
+class ParallelCfg:
+    """Mesh / sharding (replaces mynn.DataParallel; SURVEY.md §2.3)."""
+
+    data_axis: str = "data"
+    # devices per host used for the data mesh; -1 = all
+    num_devices: int = -1
+
+
+@dataclass(frozen=True)
+class DataCfg:
+    """Dataset roots and loader knobs (reference: cfg.DATA_LOADER + catalog)."""
+
+    davis_root: str = "/data/DAVIS"
+    pixel_means: Tuple[float, float, float] = (102.9801, 115.9465, 122.7717)  # BGR
+    num_workers: int = 4
+    prefetch_depth: int = 2
+
+
+@dataclass(frozen=True)
+class Config:
+    """Root config. Sections mirror reference lib/core/config.py."""
+
+    model: ModelCfg = field(default_factory=ModelCfg)
+    resnets: ResNetsCfg = field(default_factory=ResNetsCfg)
+    fpn: FPNCfg = field(default_factory=FPNCfg)
+    rpn: RPNCfg = field(default_factory=RPNCfg)
+    fast_rcnn: FastRCNNCfg = field(default_factory=FastRCNNCfg)
+    mrcnn: MRCNNCfg = field(default_factory=MRCNNCfg)
+    train: TrainCfg = field(default_factory=TrainCfg)
+    test: TestCfg = field(default_factory=TestCfg)
+    solver: SolverCfg = field(default_factory=SolverCfg)
+    vos: VOSCfg = field(default_factory=VOSCfg)
+    parallel: ParallelCfg = field(default_factory=ParallelCfg)
+    data: DataCfg = field(default_factory=DataCfg)
+    # Compute dtype for the conv body / heads; params stay float32.
+    compute_dtype: str = "bfloat16"
+
+    # -- validation (reference: assert_and_infer_cfg) --------------------
+    def validate(self) -> "Config":
+        div = 2 ** self.fpn.max_level if self.fpn.enabled else self.rpn.stride
+        for name, (h, w) in (
+            ("train.padded_image_size", self.train.padded_image_size),
+            ("test.padded_image_size", self.test.padded_image_size),
+        ):
+            if h % div or w % div:
+                raise ValueError(
+                    f"{name}={h}x{w} must be divisible by {div} "
+                    f"(fpn max_level={self.fpn.max_level})"
+                )
+        if self.model.conv_body not in ("resnet50_c4", "fpn_resnet50",
+                                        "resnet101_c4", "fpn_resnet101"):
+            raise ValueError(f"unknown conv_body {self.model.conv_body!r}")
+        if self.fpn.enabled and "fpn" not in self.model.conv_body:
+            raise ValueError("fpn.enabled=True requires an FPN conv body")
+        return self
+
+
+# ---------------------------------------------------------------------------
+# YAML loading + dotted-path overrides
+# (reference: merge_cfg_from_file / merge_cfg_from_list)
+# ---------------------------------------------------------------------------
+
+
+def _coerce(value: Any, target_type: Any) -> Any:
+    """Coerce a YAML/CLI value to the dataclass field type."""
+    import typing
+
+    origin = typing.get_origin(target_type)
+    if origin in (tuple, Tuple):
+        args = typing.get_args(target_type)
+        elem = args[0] if args else float
+        if elem is Ellipsis:
+            elem = float
+        seq = value if isinstance(value, (list, tuple)) else [value]
+        return tuple(_coerce(v, elem) for v in seq)
+    if target_type is bool and isinstance(value, str):
+        return value.lower() in ("1", "true", "yes", "on")
+    if target_type in (int, float, str, bool):
+        return target_type(value)
+    return value
+
+
+def _replace_path(cfg: Any, path: Sequence[str], value: Any) -> Any:
+    """Immutable dotted-path update, e.g. ('rpn', 'nms_thresh')."""
+    key = path[0].lower()
+    f = {fl.name: fl for fl in fields(cfg)}.get(key)
+    if f is None:
+        raise KeyError(f"config has no field {key!r} in {type(cfg).__name__}")
+    if len(path) == 1:
+        return dataclasses.replace(
+            cfg, **{key: _coerce(value, _resolve_type(cfg, key))})
+    sub = getattr(cfg, key)
+    if not is_dataclass(sub):
+        raise KeyError(f"{key!r} is a leaf, cannot descend into it")
+    return dataclasses.replace(cfg, **{key: _replace_path(sub, path[1:], value)})
+
+
+def _resolve_type(cfg: Any, name: str) -> Any:
+    import typing
+
+    hints = typing.get_type_hints(type(cfg))
+    return hints[name]
+
+
+def apply_overrides(cfg: Config, overrides: Sequence[Tuple[str, Any]]) -> Config:
+    """Apply ('rpn.nms_thresh', 0.6)-style overrides (reference: --set)."""
+    for dotted, value in overrides:
+        cfg = _replace_path(cfg, dotted.split("."), value)
+    return cfg
+
+
+def load_config(yaml_path: Optional[str] = None,
+                overrides: Sequence[Tuple[str, Any]] = ()) -> Config:
+    """Build a Config from defaults, an optional YAML file, and overrides.
+
+    YAML layout mirrors the dataclass tree (lower-case section names)::
+
+        model:
+          conv_body: fpn_resnet50
+        rpn:
+          nms_thresh: 0.7
+    """
+    cfg = Config()
+    if yaml_path is not None:
+        import yaml  # pyyaml is available transitively; gate import
+
+        with open(yaml_path) as f:
+            tree = yaml.safe_load(f) or {}
+        flat: list = []
+
+        def _walk(prefix: str, node: Any) -> None:
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    _walk(f"{prefix}.{k}" if prefix else str(k), v)
+            else:
+                flat.append((prefix, node))
+
+        _walk("", tree)
+        cfg = apply_overrides(cfg, flat)
+    cfg = apply_overrides(cfg, overrides)
+    return cfg.validate()
