@@ -1,0 +1,82 @@
+"""Tests: DAVIS I/O round-trip, synthetic generator, J&F metric sanity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vosdetectron_tpu.data import davis as D
+from vosdetectron_tpu.metrics import davis_jf as JF
+
+
+def test_indexed_png_roundtrip(tmp_path):
+    ids = np.zeros((32, 48), np.uint8)
+    ids[4:10, 5:20] = 1
+    ids[15:25, 30:40] = 2
+    p = str(tmp_path / "m.png")
+    D.write_indexed_png(p, ids)
+    back = D.read_indexed_png(p)
+    np.testing.assert_array_equal(back, ids)
+
+
+def test_synthetic_davis_tree(tmp_path):
+    root = str(tmp_path / "DAVIS")
+    D.materialize_synthetic_davis(root, {"seq_a": 0, "seq_b": 1},
+                                  num_frames=5, size=(96, 160),
+                                  num_objects=2)
+    cat = D.DavisCatalog(root)
+    names = cat.split_sequences("val")
+    assert names == ["seq_a", "seq_b"]
+    seq = cat.sequence("seq_a")
+    assert len(seq) == 5 and len(seq.anno_paths) == 5
+    idmap, ids = cat.load_first_frame_instances(seq)
+    assert idmap.shape == (96, 160)
+    assert ids == [1, 2]
+    im = D.read_image_bgr(seq.frame_paths[0])
+    assert im.shape == (96, 160, 3)
+
+
+def test_jf_perfect_prediction():
+    _, idmaps = D.make_synthetic_sequence(0, num_frames=6, size=(96, 160),
+                                          num_objects=2)
+    res = JF.evaluate_sequence(list(idmaps), list(idmaps))
+    assert res["J"] == pytest.approx(1.0)
+    assert res["F"] == pytest.approx(1.0)
+    assert res["J&F"] == pytest.approx(1.0)
+
+
+def test_jf_empty_prediction_is_zero():
+    _, idmaps = D.make_synthetic_sequence(1, num_frames=6, size=(96, 160))
+    empty = [np.zeros_like(m) for m in idmaps]
+    res = JF.evaluate_sequence(empty, list(idmaps))
+    assert res["J&F"] < 0.05
+
+
+def test_jf_shifted_prediction_degrades():
+    _, idmaps = D.make_synthetic_sequence(2, num_frames=6, size=(96, 160))
+    shifted = [np.roll(m, 8, axis=1) for m in idmaps]
+    res = JF.evaluate_sequence(shifted, list(idmaps))
+    perfect = JF.evaluate_sequence(list(idmaps), list(idmaps))
+    assert res["J"] < perfect["J"]
+    assert 0.2 < res["J"] < 0.95  # overlapping but clearly degraded
+    assert res["F"] < 0.9
+
+
+def test_jf_excludes_first_last_frames():
+    _, idmaps = D.make_synthetic_sequence(3, num_frames=6, size=(96, 160))
+    pred = list(idmaps)
+    # corrupt only first and last frame -> score unchanged
+    pred[0] = np.zeros_like(pred[0])
+    pred[-1] = np.zeros_like(pred[-1])
+    res = JF.evaluate_sequence(pred, list(idmaps))
+    assert res["J&F"] == pytest.approx(1.0)
+
+
+def test_dataset_aggregation():
+    agg = JF.evaluate_dataset({
+        "a": {"J": 0.8, "F": 0.6},
+        "b": {"J": 0.4, "F": 0.2},
+    })
+    assert agg["J"] == pytest.approx(0.6)
+    assert agg["F"] == pytest.approx(0.4)
+    assert agg["J&F"] == pytest.approx(0.5)

@@ -1,0 +1,218 @@
+"""DAVIS-2017 dataset I/O: sequence catalog, indexed-PNG masks, synthetic data.
+
+TPU-native rebuild of the fork-added DAVIS loading
+(reference: DAVIS entries in lib/datasets/dataset_catalog.py + fork-added
+sequence loader, SURVEY.md §2.2 Tier C). Layout handled:
+
+    <root>/JPEGImages/480p/<seq>/00000.jpg ...
+    <root>/Annotations/480p/<seq>/00000.png ...   (palette-indexed PNGs)
+    <root>/ImageSets/2017/{train,val}.txt
+
+Also provides a deterministic synthetic-DAVIS generator (moving textured
+blobs with exact instance masks) used by tests and by bench.py when no real
+DAVIS checkout exists on the machine.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# DAVIS palette (PASCAL VOC bit-twiddled palette — what davis2017 tooling uses)
+# ---------------------------------------------------------------------------
+
+
+def davis_palette() -> np.ndarray:
+    """(256, 3) uint8 palette; index 0 background, 1..N object ids."""
+    pal = np.zeros((256, 3), np.uint8)
+    for i in range(256):
+        r = g = b = 0
+        cid = i
+        for j in range(8):
+            r |= ((cid >> 0) & 1) << (7 - j)
+            g |= ((cid >> 1) & 1) << (7 - j)
+            b |= ((cid >> 2) & 1) << (7 - j)
+            cid >>= 3
+        pal[i] = (r, g, b)
+    return pal
+
+
+_PALETTE = davis_palette()
+
+
+def read_indexed_png(path: str) -> np.ndarray:
+    """Indexed PNG -> (H, W) uint8 object-id map."""
+    from PIL import Image
+
+    im = Image.open(path)
+    if im.mode != "P":
+        im = im.convert("P")
+    return np.asarray(im, dtype=np.uint8)
+
+
+def write_indexed_png(path: str, ids: np.ndarray) -> None:
+    """(H, W) uint8/int object-id map -> palette PNG (DAVIS export format).
+
+    Reference behavior: VOS tools write per-frame indexed PNGs whose palette
+    indices are object ids (SURVEY.md §3.3).
+    """
+    from PIL import Image
+
+    im = Image.fromarray(ids.astype(np.uint8), mode="P")
+    im.putpalette(_PALETTE.reshape(-1).tolist())
+    im.save(path)
+
+
+def read_image_bgr(path: str) -> np.ndarray:
+    import cv2
+
+    im = cv2.imread(path, cv2.IMREAD_COLOR)
+    if im is None:
+        raise FileNotFoundError(path)
+    return im
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DavisSequence:
+    name: str
+    frame_paths: List[str]
+    anno_paths: List[str]  # may be first-frame-only for test splits
+
+    def __len__(self) -> int:
+        return len(self.frame_paths)
+
+
+class DavisCatalog:
+    """Sequence catalog (reference: dataset_catalog.py DAVIS entries)."""
+
+    def __init__(self, root: str, year: str = "2017",
+                 resolution: str = "480p"):
+        self.root = root
+        self.year = year
+        self.resolution = resolution
+
+    def split_sequences(self, split: str) -> List[str]:
+        p = os.path.join(self.root, "ImageSets", self.year, f"{split}.txt")
+        if os.path.exists(p):
+            with open(p) as f:
+                return [l.strip() for l in f if l.strip()]
+        img_root = os.path.join(self.root, "JPEGImages", self.resolution)
+        return sorted(os.listdir(img_root)) if os.path.isdir(img_root) else []
+
+    def sequence(self, name: str) -> DavisSequence:
+        img_dir = os.path.join(self.root, "JPEGImages", self.resolution, name)
+        ann_dir = os.path.join(self.root, "Annotations", self.resolution,
+                               name)
+        frames = sorted(
+            os.path.join(img_dir, f) for f in os.listdir(img_dir)
+            if f.endswith((".jpg", ".png")))
+        annos = sorted(
+            os.path.join(ann_dir, f) for f in os.listdir(ann_dir)
+            if f.endswith(".png")) if os.path.isdir(ann_dir) else []
+        return DavisSequence(name, frames, annos)
+
+    def load_first_frame_instances(self, seq: DavisSequence
+                                   ) -> Tuple[np.ndarray, List[int]]:
+        """Semi-supervised DAVIS protocol: first-frame GT id map + ids."""
+        ids_map = read_indexed_png(seq.anno_paths[0])
+        ids = sorted(int(i) for i in np.unique(ids_map) if i != 0)
+        return ids_map, ids
+
+
+# ---------------------------------------------------------------------------
+# Synthetic DAVIS (tests + benchless environments)
+# ---------------------------------------------------------------------------
+
+
+def _blob_mask(h: int, w: int, cx: float, cy: float, rx: float, ry: float,
+               angle: float) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    ca, sa = np.cos(angle), np.sin(angle)
+    dx, dy = xx - cx, yy - cy
+    u = (dx * ca + dy * sa) / rx
+    v = (-dx * sa + dy * ca) / ry
+    return (u * u + v * v) <= 1.0
+
+
+def make_synthetic_sequence(seed: int, num_frames: int = 20,
+                            size: Tuple[int, int] = (480, 854),
+                            num_objects: int = 3
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic moving-ellipse sequence.
+
+    Returns (frames (T, H, W, 3) uint8 BGR, id_maps (T, H, W) uint8).
+    Objects are textured ellipses translating/rotating over a textured
+    background; later ids overdraw earlier ones (consistent occlusion).
+    """
+    rng = np.random.RandomState(seed)
+    h, w = size
+    bg = (rng.uniform(60, 180, (h // 8, w // 8, 3))).astype(np.float32)
+    import cv2
+
+    bg = cv2.resize(bg, (w, h), interpolation=cv2.INTER_CUBIC)
+
+    objs = []
+    for _ in range(num_objects):
+        objs.append(dict(
+            cx=rng.uniform(0.2 * w, 0.8 * w), cy=rng.uniform(0.2 * h, 0.8 * h),
+            rx=rng.uniform(0.06, 0.14) * w, ry=rng.uniform(0.08, 0.2) * h,
+            vx=rng.uniform(-6, 6), vy=rng.uniform(-4, 4),
+            va=rng.uniform(-0.05, 0.05),
+            color=rng.uniform(40, 255, 3).astype(np.float32),
+            tex=rng.uniform(0.6, 1.4, (24, 24, 1)).astype(np.float32)))
+
+    frames = np.zeros((num_frames, h, w, 3), np.uint8)
+    idmaps = np.zeros((num_frames, h, w), np.uint8)
+    for t in range(num_frames):
+        canvas = bg.copy()
+        ids = np.zeros((h, w), np.uint8)
+        for oid, o in enumerate(objs, start=1):
+            cx = np.clip(o["cx"] + o["vx"] * t, 0.1 * w, 0.9 * w)
+            cy = np.clip(o["cy"] + o["vy"] * t, 0.1 * h, 0.9 * h)
+            m = _blob_mask(h, w, cx, cy, o["rx"], o["ry"], o["va"] * t)
+            tex = cv2.resize(np.tile(o["tex"], (1, 1, 3)), (w, h),
+                             interpolation=cv2.INTER_LINEAR)
+            canvas[m] = np.clip(o["color"] * tex[m], 0, 255)
+            ids[m] = oid
+        frames[t] = np.clip(canvas, 0, 255).astype(np.uint8)
+        idmaps[t] = ids
+    return frames, idmaps
+
+
+def materialize_synthetic_davis(root: str, sequences: Dict[str, int],
+                                num_frames: int = 20,
+                                size: Tuple[int, int] = (480, 854),
+                                num_objects: int = 3) -> None:
+    """Write a synthetic DAVIS tree (images + full annotations) to `root`.
+
+    sequences: {name: seed}.
+    """
+    import cv2
+
+    names = sorted(sequences)
+    for name in names:
+        frames, idmaps = make_synthetic_sequence(
+            sequences[name], num_frames, size, num_objects)
+        img_dir = os.path.join(root, "JPEGImages", "480p", name)
+        ann_dir = os.path.join(root, "Annotations", "480p", name)
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(ann_dir, exist_ok=True)
+        for t in range(len(frames)):
+            cv2.imwrite(os.path.join(img_dir, f"{t:05d}.jpg"), frames[t],
+                        [cv2.IMWRITE_JPEG_QUALITY, 95])
+            write_indexed_png(os.path.join(ann_dir, f"{t:05d}.png"),
+                              idmaps[t])
+    os.makedirs(os.path.join(root, "ImageSets", "2017"), exist_ok=True)
+    with open(os.path.join(root, "ImageSets", "2017", "val.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    with open(os.path.join(root, "ImageSets", "2017", "train.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")

@@ -1,0 +1,185 @@
+"""Single/batched-frame inference engine — the `im_detect_all` equivalent.
+
+TPU-native re-design of the reference's inference path
+(reference: lib/core/test.py ~900 LoC: im_detect_all -> im_detect_bbox ->
+box_results_with_nms_and_limit -> im_detect_mask -> segm_results).
+
+The reference runs per-image Python with host NMS and cv2 mask paste; here
+the whole chain — softmax, per-class delta decode, score threshold,
+class-offset NMS, top-K limiting, mask head, on-device paste — is one jitted
+program over a fixed batch, with validity masks instead of dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models.generalized_rcnn import GeneralizedRCNN, RCNNOutputs
+from ..ops import boxes as box_ops
+from ..ops.nms import batched_nms
+from ..ops.mask_paste import paste_masks_in_image
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray    # (B, D, 4) xyxy, image coords
+    scores: jnp.ndarray   # (B, D)
+    classes: jnp.ndarray  # (B, D) int32 (1..K-1)
+    valid: jnp.ndarray    # (B, D) bool
+    masks: Optional[jnp.ndarray] = None  # (B, D, M, M) sigmoid probs
+
+
+# ---------------------------------------------------------------------------
+# Post-processing (reference: box_results_with_nms_and_limit)
+# ---------------------------------------------------------------------------
+
+
+def postprocess_boxes(outputs: RCNNOutputs, im_hw: jnp.ndarray,
+                      cfg: Config, candidate_topk: int = 1000) -> Detections:
+    """Per-class decode + threshold + NMS + detections-per-image limit.
+
+    Fixed-shape strategy: flatten (R rois x K-1 classes) score grid, take
+    the top `candidate_topk` candidates, run ONE class-offset NMS over them,
+    keep the top `cfg.test.detections_per_im`.
+    """
+    probs = jax.nn.softmax(outputs.cls_scores, axis=-1)  # (B, R, K)
+    b, r, k = probs.shape
+    deltas = outputs.bbox_deltas.reshape(b, r, -1, 4)
+    nbox = deltas.shape[2]
+
+    def per_image(probs_i, deltas_i, rois_i, roi_valid_i, hw):
+        # per-class decoded boxes: (R, K, 4)
+        if nbox == 2:  # class-agnostic
+            dec = box_ops.bbox_transform_inv(
+                rois_i[:, None, :], deltas_i[:, 1:2, :],
+                cfg.model.bbox_reg_weights)
+            dec = jnp.broadcast_to(dec, (r, k, 4))
+        else:
+            dec = box_ops.bbox_transform_inv(
+                rois_i[:, None, :], deltas_i, cfg.model.bbox_reg_weights)
+        dec = box_ops.clip_boxes(dec, hw)
+
+        # drop background column; flatten (R*(K-1),)
+        fg_probs = probs_i[:, 1:]
+        fg_boxes = dec[:, 1:, :]
+        flat_scores = fg_probs.reshape(-1)
+        flat_boxes = fg_boxes.reshape(-1, 4)
+        flat_cls = jnp.broadcast_to(
+            jnp.arange(1, k, dtype=jnp.int32)[None, :], (r, k - 1)
+        ).reshape(-1)
+        flat_valid = jnp.broadcast_to(roi_valid_i[:, None], (r, k - 1)
+                                      ).reshape(-1)
+        score_ok = (flat_scores > cfg.test.score_thresh) & flat_valid
+        masked = jnp.where(score_ok, flat_scores, -jnp.inf)
+
+        topk = min(candidate_topk, masked.shape[0])
+        cand_scores, cand_idx = jax.lax.top_k(masked, topk)
+        cand_valid = jnp.isfinite(cand_scores)
+        cand_boxes = flat_boxes[cand_idx]
+        cand_cls = flat_cls[cand_idx]
+
+        idx, keep_valid, kept_scores = batched_nms(
+            cand_boxes, jnp.where(cand_valid, cand_scores, -1e10), cand_cls,
+            cfg.test.nms, cfg.test.detections_per_im, valid=cand_valid)
+        return (cand_boxes[idx], kept_scores, cand_cls[idx],
+                keep_valid & (kept_scores > cfg.test.score_thresh))
+
+    boxes, scores, classes, valid = jax.vmap(per_image)(
+        probs, deltas, outputs.proposals.boxes, outputs.proposals.valid,
+        im_hw)
+    return Detections(boxes, scores, classes, valid)
+
+
+def select_class_masks(mask_logits: jnp.ndarray,
+                       classes: jnp.ndarray) -> jnp.ndarray:
+    """(B, D, M, M, K), (B, D) -> (B, D, M, M) sigmoid of the target class."""
+    sel = jnp.take_along_axis(
+        mask_logits, classes[:, :, None, None, None].astype(jnp.int32),
+        axis=-1)[..., 0]
+    return jax.nn.sigmoid(sel)
+
+
+# ---------------------------------------------------------------------------
+# Preprocessing (reference: lib/utils/blob.py::prep_im_for_blob)
+# ---------------------------------------------------------------------------
+
+
+def preprocess_np(im_bgr: np.ndarray, target_scale: int, max_size: int,
+                  padded_hw: Tuple[int, int],
+                  pixel_means: Tuple[float, float, float]
+                  ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Host-side: BGR uint8 HWC -> float32 padded NHWC-ready frame.
+
+    Returns (padded image (H, W, 3), effective (h, w) after resize, scale).
+    Resize: shortest side -> target_scale, capped so longest <= max_size.
+    """
+    import cv2
+
+    h, w = im_bgr.shape[:2]
+    scale = min(target_scale / min(h, w), max_size / max(h, w))
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    im = cv2.resize(im_bgr.astype(np.float32), (nw, nh),
+                    interpolation=cv2.INTER_LINEAR)
+    im -= np.asarray(pixel_means, np.float32)
+    ph, pw = padded_hw
+    out = np.zeros((ph, pw, 3), np.float32)
+    out[:nh, :nw] = im[:ph, :pw]
+    return out, np.asarray([nh, nw], np.float32), scale
+
+
+# ---------------------------------------------------------------------------
+# Detector — owns params + the jitted programs
+# ---------------------------------------------------------------------------
+
+
+class Detector:
+    """End-to-end frame detector (the `test_net` engine core).
+
+    Wraps a GeneralizedRCNN with jitted detect / detect+mask programs.
+    """
+
+    def __init__(self, cfg: Config, params=None, rng: int = 0):
+        self.cfg = cfg
+        self.model = GeneralizedRCNN(cfg)
+        if params is None:
+            params = self.init_params(jax.random.PRNGKey(rng))
+        self.params = params
+
+    def init_params(self, key):
+        ph, pw = self.cfg.test.padded_image_size
+        dummy = jnp.zeros((1, ph, pw, 3), jnp.float32)
+        hw = jnp.asarray([[ph, pw]], jnp.float32)
+        variables = self.model.init(key, dummy, hw,
+                                    method=GeneralizedRCNN.init_all)
+        return variables["params"]
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _detect(self, params, images, im_hw) -> Detections:
+        out = self.model.apply({"params": params}, images, im_hw)
+        dets = postprocess_boxes(out, im_hw, self.cfg)
+        if not self.cfg.model.mask_on:
+            return dets
+        mask_logits = self.model.apply(
+            {"params": params}, out.feats, dets.boxes,
+            method=GeneralizedRCNN.mask_branch)
+        masks = select_class_masks(mask_logits, dets.classes)
+        return Detections(dets.boxes, dets.scores, dets.classes, dets.valid,
+                          masks)
+
+    def detect(self, images: jnp.ndarray, im_hw: jnp.ndarray) -> Detections:
+        """images: (B, H, W, 3) preprocessed; im_hw: (B, 2)."""
+        return self._detect(self.params, images, im_hw)
+
+    def paste(self, dets: Detections, im_h: int, im_w: int,
+              scale: float = 1.0) -> jnp.ndarray:
+        """Paste detection masks to original-image canvas (B, D, h, w)."""
+        def per_image(m, bx):
+            return paste_masks_in_image(m, bx / scale, im_h, im_w,
+                                        self.cfg.mrcnn.thresh_binarize)
+
+        return jax.vmap(per_image)(dets.masks, dets.boxes)

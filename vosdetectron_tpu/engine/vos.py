@@ -1,0 +1,261 @@
+"""VOS sequence engine — whole-sequence lax.scan, one compiled program.
+
+TPU-native rebuild of the fork's VOS inference tool
+(reference: fork-added VOS sequence engine, SURVEY.md §3.3: Python loop of
+im_detect_all -> propagate -> associate -> write PNG per frame).
+
+Redesign (the core of the 60 f/s/chip strategy, BASELINE.json north_star):
+  * the per-frame loop is a ``lax.scan`` carrying TrackState — detector,
+    propagation, association, and indexed-map rendering all inside ONE XLA
+    program; sequences are processed in fixed-size frame chunks so each
+    unique length compiles once;
+  * frames enter the device as raw uint8 480p; resize / normalize / pad
+    happen on-device (host only decodes JPEG), slashing host->device
+    bandwidth 4x vs float32 and keeping the host out of the hot path;
+  * chunks are double-buffered: the host enqueues chunk t+1's uint8 frames
+    (device_put is async) while the device scans chunk t.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models.generalized_rcnn import GeneralizedRCNN
+from ..models.propagation import (TrackState, associate_and_update,
+                                  empty_track_state, masked_embedding,
+                                  propagate_identity, render_indexed)
+from ..ops.mask_paste import paste_masks_in_image
+from .inference import postprocess_boxes, select_class_masks
+
+
+class VOSEngine:
+    """Runs semi-supervised VOS over DAVIS sequences."""
+
+    def __init__(self, cfg: Config, params=None, rng: int = 0,
+                 chunk: int = 16):
+        self.cfg = cfg
+        self.chunk = chunk
+        self.model = GeneralizedRCNN(cfg)
+        if params is None:
+            ph, pw = cfg.test.padded_image_size
+            dummy = jnp.zeros((1, ph, pw, 3), jnp.float32)
+            hw = jnp.asarray([[ph, pw]], jnp.float32)
+            params = self.model.init(jax.random.PRNGKey(rng), dummy, hw,
+                                     method=GeneralizedRCNN.init_all
+                                     )["params"]
+        self.params = params
+        self.emb_dim = cfg.fpn.dim if cfg.fpn.enabled else 1024
+
+    # ------------------------------------------------------------ device side
+
+    def _preprocess(self, frame_u8: jnp.ndarray, scale: float
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """uint8 (H0, W0, 3) BGR -> padded float (PH, PW, 3); returns
+        (image, effective hw). All shapes static under jit."""
+        cfg = self.cfg
+        h0, w0 = frame_u8.shape[:2]
+        nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+        im = frame_u8.astype(jnp.float32)
+        if (nh, nw) != (h0, w0):
+            im = jax.image.resize(im, (nh, nw, 3), "linear")
+        im = im - jnp.asarray(cfg.data.pixel_means, jnp.float32)
+        ph, pw = cfg.test.padded_image_size
+        im = jnp.pad(im, ((0, ph - nh), (0, pw - nw), (0, 0)))
+        return im, jnp.asarray([nh, nw], jnp.float32)
+
+    def _detect_frame(self, params, image, im_hw):
+        out = self.model.apply({"params": params}, image[None], im_hw[None])
+        dets = postprocess_boxes(out, im_hw[None], self.cfg,
+                                 candidate_topk=min(
+                                     1000, out.cls_scores.shape[1]
+                                     * max(out.cls_scores.shape[2] - 1, 1)))
+        mask_logits = self.model.apply(
+            {"params": params}, out.feats, dets.boxes,
+            method=GeneralizedRCNN.mask_branch)
+        masks = select_class_masks(mask_logits, dets.classes)
+        return dets, masks, out.feats
+
+    def _det_lowres(self, dets_boxes, masks):
+        """Paste det masks into the track-resolution grid spanning the
+        padded image."""
+        cfg = self.cfg
+        mh, mw = cfg.vos.track_mask_size
+        ph, pw = cfg.test.padded_image_size
+        sx, sy = mw / pw, mh / ph
+        scaled = dets_boxes * jnp.asarray([sx, sy, sx, sy], jnp.float32)
+        return paste_masks_in_image(masks, scaled, mh, mw, threshold=-1.0)
+
+    def _frame_step(self, params, state: TrackState, frame_u8, scale: float):
+        cfg = self.cfg
+        image, im_hw = self._preprocess(frame_u8, scale)
+        dets, masks, feats = self._detect_frame(params, image, im_hw)
+        det_masks_lr = self._det_lowres(dets.boxes[0], masks[0])
+        # appearance features at track resolution (P3 if FPN else res4)
+        feat = feats[1] if cfg.fpn.enabled else feats[0]
+        mh, mw = cfg.vos.track_mask_size
+        feat_lr = jax.image.resize(feat[0].astype(jnp.float32),
+                                   (mh, mw, feat.shape[-1]), "linear")
+        det_emb = masked_embedding(feat_lr, det_masks_lr)
+
+        propagated = propagate_identity(state)
+        state = associate_and_update(
+            cfg, state, det_masks_lr, det_emb,
+            dets.scores[0], dets.valid[0], propagated)
+        ph, pw = cfg.test.padded_image_size
+        idmap = render_indexed(state, (ph, pw),
+                               cfg.mrcnn.thresh_binarize)
+        return state, idmap
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _scan_chunk(self, params, state: TrackState, scale: float,
+                    frames_u8: jnp.ndarray):
+        """frames_u8: (C, H0, W0, 3) -> (state, idmaps (C, PH, PW) int32)."""
+
+        def step(st, fr):
+            return self._frame_step(params, st, fr, scale)
+
+        return jax.lax.scan(step, state, frames_u8)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _init_state(self, params, frame_u8, gt_masks_lr, scale: float,
+                    obj_ids) -> TrackState:
+        """Semi-supervised init: first-frame GT masks (already at track
+        resolution) + embeddings from first-frame features."""
+        cfg = self.cfg
+        image, im_hw = self._preprocess(frame_u8, scale)
+        feats = self.model.apply({"params": params}, image[None],
+                                 method=GeneralizedRCNN.extract_feats)
+        feat = feats[1] if cfg.fpn.enabled else feats[0]
+        mh, mw = cfg.vos.track_mask_size
+        feat_lr = jax.image.resize(feat[0].astype(jnp.float32),
+                                   (mh, mw, feat.shape[-1]), "linear")
+        emb = masked_embedding(feat_lr, gt_masks_lr)
+        alive = obj_ids > 0
+        return TrackState(
+            masks=gt_masks_lr, emb=emb, alive=alive,
+            miss=jnp.zeros_like(obj_ids),
+            score=jnp.where(alive, 1.0, 0.0).astype(jnp.float32),
+            obj_id=obj_ids)
+
+    # -------------------------------------------------------------- host side
+
+    def _gt_to_track_masks(self, idmap: np.ndarray, scale: float
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """First-frame GT id map -> (K, mh, mw) soft masks in padded frame
+        coords + (K,) object ids."""
+        import cv2
+
+        cfg = self.cfg
+        k = cfg.vos.max_tracks
+        mh, mw = cfg.vos.track_mask_size
+        ph, pw = cfg.test.padded_image_size
+        h0, w0 = idmap.shape
+        nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+        ids = sorted(int(i) for i in np.unique(idmap) if i != 0)[:k]
+        masks = np.zeros((k, mh, mw), np.float32)
+        obj_ids = np.zeros((k,), np.int32)
+        for slot, oid in enumerate(ids):
+            m = (idmap == oid).astype(np.float32)
+            m = cv2.resize(m, (nw, nh), interpolation=cv2.INTER_LINEAR)
+            canvas = np.zeros((ph, pw), np.float32)
+            canvas[:nh, :nw] = m
+            masks[slot] = cv2.resize(canvas, (mw, mh),
+                                     interpolation=cv2.INTER_LINEAR)
+            obj_ids[slot] = oid
+        return masks, obj_ids
+
+    def _output_scale(self, h0: int, w0: int) -> float:
+        cfg = self.cfg
+        return min(cfg.test.scale / min(h0, w0),
+                   cfg.test.max_size / max(h0, w0))
+
+    def run_sequence(self, frames: np.ndarray,
+                     first_frame_gt: Optional[np.ndarray] = None
+                     ) -> List[np.ndarray]:
+        """frames: (T, H0, W0, 3) uint8 BGR. Returns T id maps (H0, W0).
+
+        Semi-supervised when first_frame_gt (H0, W0 id map) is given;
+        unsupervised track spawning otherwise (cfg.vos.semi_supervised).
+        """
+        import cv2
+
+        cfg = self.cfg
+        t, h0, w0, _ = frames.shape
+        scale = self._output_scale(h0, w0)
+        nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+
+        if first_frame_gt is not None:
+            gt_lr, obj_ids = self._gt_to_track_masks(first_frame_gt, scale)
+            state = self._init_state(self.params, jnp.asarray(frames[0]),
+                                     jnp.asarray(gt_lr), scale,
+                                     jnp.asarray(obj_ids))
+        else:
+            state = empty_track_state(cfg, self.emb_dim)
+
+        c = self.chunk
+        pad_t = (-t) % c
+        padded = np.concatenate(
+            [frames, np.repeat(frames[-1:], pad_t, 0)]) if pad_t else frames
+        chunks = padded.reshape(-1, c, h0, w0, 3)
+
+        # Double-buffer: enqueue chunk i+1 while chunk i scans.
+        device = jax.devices()[0]
+        idmaps_dev = []
+        buf = jax.device_put(jnp.asarray(chunks[0]), device)
+        for i in range(chunks.shape[0]):
+            nxt = (jax.device_put(jnp.asarray(chunks[i + 1]), device)
+                   if i + 1 < chunks.shape[0] else None)
+            state, ids = self._scan_chunk(self.params, state, scale, buf)
+            idmaps_dev.append(ids)
+            buf = nxt
+
+        idmaps = np.concatenate([np.asarray(x) for x in idmaps_dev])[:t]
+
+        out = []
+        for fr in range(t):
+            m = idmaps[fr][:nh, :nw].astype(np.uint8)
+            out.append(cv2.resize(m, (w0, h0),
+                                  interpolation=cv2.INTER_NEAREST))
+        if first_frame_gt is not None:
+            out[0] = first_frame_gt.astype(np.uint8)  # DAVIS protocol
+        return out
+
+
+def run_davis_eval(engine: VOSEngine, davis_root: str, split: str = "val",
+                   out_dir: Optional[str] = None,
+                   max_sequences: Optional[int] = None):
+    """Dataset-level VOS eval: run every sequence, export PNGs, score J&F.
+
+    (reference: the VOS infer tool + DAVIS evaluator, SURVEY.md §3.3)
+    """
+    import os
+
+    from ..data.davis import (DavisCatalog, read_image_bgr,
+                              read_indexed_png, write_indexed_png)
+    from ..metrics.davis_jf import evaluate_dataset, evaluate_sequence
+
+    cat = DavisCatalog(davis_root)
+    names = cat.split_sequences(split)
+    if max_sequences:
+        names = names[:max_sequences]
+    per_seq = {}
+    for name in names:
+        seq = cat.sequence(name)
+        frames = np.stack([read_image_bgr(p) for p in seq.frame_paths])
+        gt0 = read_indexed_png(seq.anno_paths[0])
+        preds = engine.run_sequence(frames, gt0)
+        if out_dir:
+            d = os.path.join(out_dir, name)
+            os.makedirs(d, exist_ok=True)
+            for i, p in enumerate(preds):
+                write_indexed_png(os.path.join(d, f"{i:05d}.png"), p)
+        gts = [read_indexed_png(p) for p in seq.anno_paths]
+        if len(gts) == len(preds):
+            per_seq[name] = evaluate_sequence(preds, gts)
+    return per_seq, evaluate_dataset(per_seq)

@@ -1,0 +1,126 @@
+"""RoI heads: box classification/regression + mask FCN.
+
+TPU-native re-design of the reference's heads
+(reference: lib/modeling/fast_rcnn_heads.py ~130 LoC — roi_2mlp_head +
+fast_rcnn_outputs + losses; lib/modeling/mask_rcnn_heads.py ~220 LoC —
+mask_rcnn_fcn_head_v1up4convs + mask_rcnn_outputs + loss).
+
+All heads take fixed-size RoI batches (padded + masked); losses are
+computed with validity weights so padding contributes zero.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class BoxMLPHead(nn.Module):
+    """Two-FC head on pooled features (reference: roi_2mlp_head)."""
+
+    dim: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (N, P, P, C)
+        n = x.shape[0]
+        x = x.reshape(n, -1)
+        x = nn.relu(nn.Dense(self.dim, dtype=self.dtype, name="fc1")(x))
+        x = nn.relu(nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x))
+        return x
+
+
+class BoxOutputs(nn.Module):
+    """Class scores + per-class box deltas (reference: fast_rcnn_outputs)."""
+
+    num_classes: int
+    cls_agnostic: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        scores = nn.Dense(self.num_classes, dtype=self.dtype,
+                          name="cls_score")(x)
+        nbox = 2 if self.cls_agnostic else self.num_classes
+        deltas = nn.Dense(4 * nbox, dtype=self.dtype, name="bbox_pred")(x)
+        return scores, deltas
+
+
+class MaskHead(nn.Module):
+    """4x conv3x3 + 2x deconv + 1x1 per-class mask logits
+    (reference: mask_rcnn_fcn_head_v1up4convs + mask_rcnn_outputs).
+    Input (N, 14, 14, C) -> logits (N, 28, 28, num_classes)."""
+
+    num_classes: int
+    dim: int = 256
+    num_convs: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_convs):
+            x = nn.relu(nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
+                                dtype=self.dtype, name=f"fcn{i + 1}")(x))
+        x = nn.relu(nn.ConvTranspose(self.dim, (2, 2), strides=(2, 2),
+                                     dtype=self.dtype, name="upconv")(x))
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                       name="mask_logits")(x)
+
+
+# ---------------------------------------------------------------------------
+# Losses (reference: fast_rcnn_heads.py / mask_rcnn_heads.py loss fns)
+# ---------------------------------------------------------------------------
+
+
+def smooth_l1(diff: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+    ad = jnp.abs(diff)
+    return jnp.where(ad < beta, 0.5 * ad * ad / beta, ad - 0.5 * beta)
+
+
+def box_losses(cls_scores: jnp.ndarray, bbox_deltas: jnp.ndarray,
+               labels: jnp.ndarray, bbox_targets: jnp.ndarray,
+               valid: jnp.ndarray,
+               cls_agnostic: bool = False
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Softmax CE over classes + smooth-L1 on the target class's deltas.
+
+    cls_scores: (R, K); bbox_deltas: (R, 4K); labels: (R,) int (0 = bg);
+    bbox_targets: (R, 4); valid: (R,) bool over sampled rois.
+    """
+    r, k = cls_scores.shape
+    logp = jax.nn.log_softmax(cls_scores.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    n_valid = jnp.maximum(valid.sum(), 1)
+    cls_loss = jnp.where(valid, ce, 0.0).sum() / n_valid
+
+    nbox = 2 if cls_agnostic else k
+    deltas = bbox_deltas.reshape(r, nbox, 4)
+    sel = jnp.where(cls_agnostic, jnp.minimum(labels, 1), labels)
+    d = jnp.take_along_axis(deltas, sel[:, None, None].repeat(4, -1),
+                            axis=1)[:, 0]
+    fg = valid & (labels > 0)
+    l1 = smooth_l1(d - bbox_targets).sum(-1)
+    bbox_loss = jnp.where(fg, l1, 0.0).sum() / n_valid
+    return cls_loss, bbox_loss
+
+
+def mask_loss(mask_logits: jnp.ndarray, mask_targets: jnp.ndarray,
+              labels: jnp.ndarray, fg_valid: jnp.ndarray) -> jnp.ndarray:
+    """Per-fg-RoI BCE on the target class's 28x28 mask
+    (reference: mask_rcnn_heads.py::mask_rcnn_losses).
+
+    mask_logits: (R, M, M, K); mask_targets: (R, M, M) in {0,1};
+    labels: (R,) target class per roi; fg_valid: (R,) bool.
+    """
+    r, m, _, k = mask_logits.shape
+    sel = jnp.take_along_axis(
+        mask_logits, labels[:, None, None, None].astype(jnp.int32),
+        axis=-1)[..., 0].astype(jnp.float32)
+    t = mask_targets.astype(jnp.float32)
+    bce = (jnp.maximum(sel, 0) - sel * t + jnp.log1p(jnp.exp(-jnp.abs(sel))))
+    per_roi = bce.mean(axis=(1, 2))
+    n = jnp.maximum(fg_valid.sum(), 1)
+    return jnp.where(fg_valid, per_roi, 0.0).sum() / n
