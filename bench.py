@@ -1,0 +1,92 @@
+"""Benchmark: DAVIS-2017 480p end-to-end VOS throughput (frames/sec/chip).
+
+Protocol (BASELINE.md): full pipeline — JPEG decode + preprocess + detect +
+mask-propagate + indexed-PNG export — over 480p sequences, wall-clock
+frames/sec divided by chip count. Baseline (driver target): 60 f/s/chip.
+
+Uses the synthetic DAVIS tree when no real checkout exists (this machine has
+none — see SURVEY.md §0); detection quality is irrelevant to throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# keep the axon TPU plugin importable (see .claude/skills/verify/SKILL.md)
+_axon = "/root/.axon_site"
+if os.path.isdir(_axon) and _axon not in sys.path:
+    sys.path.append(_axon)
+
+BASELINE_FPS = 60.0
+
+
+def main():
+    import numpy as np
+
+    from vosdetectron_tpu.config import Config, apply_overrides
+    from vosdetectron_tpu.data.davis import (DavisCatalog,
+                                             materialize_synthetic_davis,
+                                             read_image_bgr,
+                                             read_indexed_png,
+                                             write_indexed_png)
+    from vosdetectron_tpu.engine.vos import VOSEngine
+
+    davis_root = os.environ.get("DAVIS_ROOT", "")
+    if not davis_root or not os.path.isdir(davis_root):
+        davis_root = os.path.join(tempfile.gettempdir(),
+                                  "synthetic_davis_bench")
+        if not os.path.isdir(os.path.join(davis_root, "JPEGImages")):
+            materialize_synthetic_davis(
+                davis_root, {"bench_a": 0, "bench_b": 1}, num_frames=64,
+                size=(480, 854), num_objects=3)
+
+    cfg = apply_overrides(Config(), [
+        ("model.num_classes", 2),
+        ("test.scale", 480), ("test.max_size", 864),
+        ("test.padded_image_size", (512, 896)),
+        ("test.detections_per_im", 32),   # VOS budget (<=10 objs/seq)
+        ("rpn.post_nms_top_n_test", 300),
+        ("data.davis_root", davis_root),
+    ]).validate()
+
+    import jax
+
+    from vosdetectron_tpu.engine.vos import run_davis_dataset
+
+    chips = jax.device_count()
+    eng = VOSEngine(cfg, rng=0, chunk=16)
+
+    cat = DavisCatalog(davis_root)
+    names = cat.split_sequences("val")[:2]
+    out_root = os.path.join(tempfile.gettempdir(), "bench_vos_out")
+
+    # Warmup: compile the scan + init programs on a full-length sequence
+    # (the persistent compile cache makes later processes skip this).
+    seq0 = cat.sequence(names[0])
+    warm_frames = np.stack([read_image_bgr(p) for p in seq0.frame_paths])
+    gt0 = read_indexed_png(seq0.anno_paths[0])
+    eng.run_sequence(warm_frames, gt0)
+
+    # Timed: decode -> preprocess -> detect -> propagate -> PNG export.
+    t0 = time.time()
+    all_preds, _ = run_davis_dataset(eng, davis_root, "val",
+                                     out_dir=out_root, evaluate=False)
+    dt = time.time() - t0
+    total_frames = sum(len(p) for p in all_preds.values())
+
+    fps_per_chip = total_frames / dt / chips
+    print(json.dumps({
+        "metric": "davis2017_480p_e2e_vos_throughput",
+        "value": round(fps_per_chip, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps_per_chip / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

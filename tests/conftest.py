@@ -8,7 +8,16 @@ vs. numpy references is platform-independent. Must run before jax imports.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (the ambient env carries JAX_PLATFORMS=axon for the TPU tunnel;
+# tests must run on the virtual 8-device CPU mesh).
+os.environ["JAX_PLATFORMS"] = "cpu"
+# JAX's default matmul/conv precision is reduced (bf16-class) even on CPU;
+# numeric-parity tests need true f32. NOTE: sitecustomize.py (axon site)
+# imports jax at interpreter startup, so env flags are too late — use
+# config.update after import.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

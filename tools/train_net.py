@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Fine-tune Mask R-CNN on DAVIS (reference: tools/train_net_step.py).
+
+Example:
+    python tools/train_net.py --set solver.max_iter=1000 \
+        data.davis_root=/data/DAVIS train.ims_per_batch=2
+"""
+
+from common import base_parser, load_cfg
+
+
+def main():
+    p = base_parser("Train Mask R-CNN on DAVIS")
+    p.add_argument("--out", default="./output", help="checkpoint dir")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--no-mesh", action="store_true",
+                   help="single-device (skip mesh sharding)")
+    args = p.parse_args()
+    cfg = load_cfg(args)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vosdetectron_tpu.data.detection_data import (DetectionLoader,
+                                                      build_roidb)
+    from vosdetectron_tpu.engine.train import Trainer
+    from vosdetectron_tpu.models.targets import GroundTruth
+    from vosdetectron_tpu.parallel.mesh import (initialize_multihost,
+                                                make_mesh, shard_batch)
+    from vosdetectron_tpu.utils.training_stats import TrainingStats
+
+    initialize_multihost()
+    mesh = None if args.no_mesh else make_mesh(cfg)
+    trainer = Trainer(cfg, rng=0, mesh=mesh)
+    if args.ckpt:
+        trainer.load(args.ckpt)
+
+    records = build_roidb(cfg, "train")
+    n_dev = 1 if mesh is None else mesh.size
+    batch = cfg.train.ims_per_batch * n_dev
+    loader = DetectionLoader(cfg, records, batch)
+    stats = TrainingStats(log_period=20)
+
+    key = jax.random.PRNGKey(int(trainer.state.step))
+    it = iter(loader)
+    ctx = mesh if mesh is not None else _nullcontext()
+    with ctx:
+        for step in range(int(trainer.state.step), cfg.solver.max_iter):
+            images, im_hw, gt_np = next(it)
+            key, sub = jax.random.split(key)
+            gt = GroundTruth(jnp.asarray(gt_np["boxes"]),
+                             jnp.asarray(gt_np["classes"]),
+                             jnp.asarray(gt_np["masks"]),
+                             jnp.asarray(gt_np["valid"]))
+            imgs = jnp.asarray(images)
+            hw = jnp.asarray(im_hw)
+            if mesh is not None:
+                imgs, hw = shard_batch(mesh, (imgs, hw))
+                gt = GroundTruth(*shard_batch(mesh, tuple(gt)))
+            losses = trainer.train_step(sub, imgs, hw, gt)
+            stats.log(step, {k: float(v) for k, v in losses.items()},
+                      cfg.solver.max_iter)
+            if (step + 1) % cfg.train.snapshot_iters == 0 \
+                    or step + 1 == cfg.solver.max_iter:
+                trainer.save(args.out)
+                print(f"saved checkpoint at step {step + 1}")
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+if __name__ == "__main__":
+    main()

@@ -144,6 +144,9 @@ class Detector:
     """
 
     def __init__(self, cfg: Config, params=None, rng: int = 0):
+        from ..utils.jax_setup import setup
+
+        setup()
         self.cfg = cfg
         self.model = GeneralizedRCNN(cfg)
         if params is None:
@@ -151,12 +154,10 @@ class Detector:
         self.params = params
 
     def init_params(self, key):
-        ph, pw = self.cfg.test.padded_image_size
-        dummy = jnp.zeros((1, ph, pw, 3), jnp.float32)
-        hw = jnp.asarray([[ph, pw]], jnp.float32)
-        variables = self.model.init(key, dummy, hw,
-                                    method=GeneralizedRCNN.init_all)
-        return variables["params"]
+        from ..models.generalized_rcnn import init_model_params
+
+        return init_model_params(self.model, key,
+                                 self.cfg.test.padded_image_size)
 
     @partial(jax.jit, static_argnums=(0,))
     def _detect(self, params, images, im_hw) -> Detections:

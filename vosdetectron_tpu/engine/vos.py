@@ -39,16 +39,16 @@ class VOSEngine:
 
     def __init__(self, cfg: Config, params=None, rng: int = 0,
                  chunk: int = 16):
+        from ..models.generalized_rcnn import init_model_params
+        from ..utils.jax_setup import setup
+
+        setup()
         self.cfg = cfg
         self.chunk = chunk
         self.model = GeneralizedRCNN(cfg)
         if params is None:
-            ph, pw = cfg.test.padded_image_size
-            dummy = jnp.zeros((1, ph, pw, 3), jnp.float32)
-            hw = jnp.asarray([[ph, pw]], jnp.float32)
-            params = self.model.init(jax.random.PRNGKey(rng), dummy, hw,
-                                     method=GeneralizedRCNN.init_all
-                                     )["params"]
+            params = init_model_params(self.model, jax.random.PRNGKey(rng),
+                                       cfg.test.padded_image_size)
         self.params = params
         self.emb_dim = cfg.fpn.dim if cfg.fpn.enabled else 1024
 
@@ -69,18 +69,6 @@ class VOSEngine:
         im = jnp.pad(im, ((0, ph - nh), (0, pw - nw), (0, 0)))
         return im, jnp.asarray([nh, nw], jnp.float32)
 
-    def _detect_frame(self, params, image, im_hw):
-        out = self.model.apply({"params": params}, image[None], im_hw[None])
-        dets = postprocess_boxes(out, im_hw[None], self.cfg,
-                                 candidate_topk=min(
-                                     1000, out.cls_scores.shape[1]
-                                     * max(out.cls_scores.shape[2] - 1, 1)))
-        mask_logits = self.model.apply(
-            {"params": params}, out.feats, dets.boxes,
-            method=GeneralizedRCNN.mask_branch)
-        masks = select_class_masks(mask_logits, dets.classes)
-        return dets, masks, out.feats
-
     def _det_lowres(self, dets_boxes, masks):
         """Paste det masks into the track-resolution grid spanning the
         padded image."""
@@ -91,36 +79,64 @@ class VOSEngine:
         scaled = dets_boxes * jnp.asarray([sx, sy, sx, sy], jnp.float32)
         return paste_masks_in_image(masks, scaled, mh, mw, threshold=-1.0)
 
-    def _frame_step(self, params, state: TrackState, frame_u8, scale: float):
+    def _detect_chunk(self, params, frames_u8: jnp.ndarray, scale: float):
+        """Batched detection phase over a chunk of frames.
+
+        The Mask R-CNN forward carries no frame-to-frame state, so a whole
+        chunk runs as ONE batched program (better MXU utilization than the
+        reference's frame-at-a-time loop); only the cheap association
+        recurrence is sequential.
+
+        frames_u8 (C, H0, W0, 3) -> per-frame (det_masks_lr, det_emb,
+        scores, valid).
+        """
         cfg = self.cfg
-        image, im_hw = self._preprocess(frame_u8, scale)
-        dets, masks, feats = self._detect_frame(params, image, im_hw)
-        det_masks_lr = self._det_lowres(dets.boxes[0], masks[0])
-        # appearance features at track resolution (P3 if FPN else res4)
-        feat = feats[1] if cfg.fpn.enabled else feats[0]
+        imgs, hws = jax.vmap(
+            lambda f: self._preprocess(f, scale))(frames_u8)
+        out = self.model.apply({"params": params}, imgs, hws)
+        dets = postprocess_boxes(out, hws, cfg,
+                                 candidate_topk=min(
+                                     1000, out.cls_scores.shape[1]
+                                     * max(out.cls_scores.shape[2] - 1, 1)))
+        mask_logits = self.model.apply(
+            {"params": params}, out.feats, dets.boxes,
+            method=GeneralizedRCNN.mask_branch)
+        masks = select_class_masks(mask_logits, dets.classes)
+
+        det_masks_lr = jax.vmap(self._det_lowres)(dets.boxes, masks)
+
+        feat = out.feats[1] if cfg.fpn.enabled else out.feats[0]
         mh, mw = cfg.vos.track_mask_size
-        feat_lr = jax.image.resize(feat[0].astype(jnp.float32),
-                                   (mh, mw, feat.shape[-1]), "linear")
-        det_emb = masked_embedding(feat_lr, det_masks_lr)
 
-        propagated = propagate_identity(state)
-        state = associate_and_update(
-            cfg, state, det_masks_lr, det_emb,
-            dets.scores[0], dets.valid[0], propagated)
-        ph, pw = cfg.test.padded_image_size
-        idmap = render_indexed(state, (ph, pw),
-                               cfg.mrcnn.thresh_binarize)
-        return state, idmap
+        def per_frame_emb(f, m):
+            f_lr = jax.image.resize(f.astype(jnp.bfloat16),
+                                    (mh, mw, f.shape[-1]), "linear")
+            return masked_embedding(f_lr.astype(jnp.float32), m)
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
+        det_emb = jax.vmap(per_frame_emb)(feat, det_masks_lr)
+        return det_masks_lr, det_emb, dets.scores, dets.valid
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
     def _scan_chunk(self, params, state: TrackState, scale: float,
-                    frames_u8: jnp.ndarray):
-        """frames_u8: (C, H0, W0, 3) -> (state, idmaps (C, PH, PW) int32)."""
+                    out_hw, frames_u8: jnp.ndarray):
+        """frames_u8: (C, H0, W0, 3) -> (state, idmaps (C,)+out_hw uint8).
 
-        def step(st, fr):
-            return self._frame_step(params, st, fr, scale)
+        Phase A: batched detection (no recurrence). Phase B: lax.scan of
+        association + track update + indexed rendering.
+        """
+        cfg = self.cfg
+        det_masks_lr, det_emb, scores, valid = self._detect_chunk(
+            params, frames_u8, scale)
 
-        return jax.lax.scan(step, state, frames_u8)
+        def step(st, per_frame):
+            dm, de, sc, va = per_frame
+            propagated = propagate_identity(st)
+            st = associate_and_update(cfg, st, dm, de, sc, va, propagated)
+            idmap = render_indexed(st, out_hw, cfg.mrcnn.thresh_binarize)
+            return st, idmap.astype(jnp.uint8)
+
+        return jax.lax.scan(step, state,
+                            (det_masks_lr, det_emb, scores, valid))
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _init_state(self, params, frame_u8, gt_masks_lr, scale: float,
@@ -190,6 +206,7 @@ class VOSEngine:
         scale = self._output_scale(h0, w0)
         nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
 
+        device = jax.devices()[0]
         if first_frame_gt is not None:
             gt_lr, obj_ids = self._gt_to_track_masks(first_frame_gt, scale)
             state = self._init_state(self.params, jnp.asarray(frames[0]),
@@ -197,6 +214,10 @@ class VOSEngine:
                                      jnp.asarray(obj_ids))
         else:
             state = empty_track_state(cfg, self.emb_dim)
+        # Commit the carry to the device so its sharding matches the scan's
+        # own output exactly — otherwise the 2nd chunk retraces _scan_chunk
+        # under a different (committed) argument mapping.
+        state = jax.device_put(state, device)
 
         c = self.chunk
         pad_t = (-t) % c
@@ -204,18 +225,32 @@ class VOSEngine:
             [frames, np.repeat(frames[-1:], pad_t, 0)]) if pad_t else frames
         chunks = padded.reshape(-1, c, h0, w0, 3)
 
-        # Double-buffer: enqueue chunk i+1 while chunk i scans.
-        device = jax.devices()[0]
-        idmaps_dev = []
-        buf = jax.device_put(jnp.asarray(chunks[0]), device)
-        for i in range(chunks.shape[0]):
-            nxt = (jax.device_put(jnp.asarray(chunks[i + 1]), device)
-                   if i + 1 < chunks.shape[0] else None)
-            state, ids = self._scan_chunk(self.params, state, scale, buf)
-            idmaps_dev.append(ids)
-            buf = nxt
+        # Double-buffer with real overlap: device_put on this backend is
+        # effectively synchronous (network tunnel), so uploads of chunk i+1
+        # and downloads of chunk i's id maps run on transfer threads while
+        # the device scans chunk i.
+        from concurrent.futures import ThreadPoolExecutor
 
-        idmaps = np.concatenate([np.asarray(x) for x in idmaps_dev])[:t]
+        up_pool = ThreadPoolExecutor(max_workers=1)
+        down_pool = ThreadPoolExecutor(max_workers=1)
+
+        def upload(i):
+            # device_put on the raw numpy chunk: the jnp.asarray route
+            # transfers through a ~20x slower path on this backend.
+            return jax.device_put(np.ascontiguousarray(chunks[i]), device)
+
+        downloads = []
+        up_fut = up_pool.submit(upload, 0)
+        for i in range(chunks.shape[0]):
+            buf = up_fut.result()
+            if i + 1 < chunks.shape[0]:
+                up_fut = up_pool.submit(upload, i + 1)
+            state, ids = self._scan_chunk(self.params, state, scale,
+                                          cfg.test.padded_image_size, buf)
+            downloads.append(down_pool.submit(np.asarray, ids))
+        idmaps = np.concatenate([f.result() for f in downloads])[:t]
+        up_pool.shutdown()
+        down_pool.shutdown()
 
         out = []
         for fr in range(t):
@@ -227,35 +262,67 @@ class VOSEngine:
         return out
 
 
-def run_davis_eval(engine: VOSEngine, davis_root: str, split: str = "val",
-                   out_dir: Optional[str] = None,
-                   max_sequences: Optional[int] = None):
-    """Dataset-level VOS eval: run every sequence, export PNGs, score J&F.
+def run_davis_dataset(engine: VOSEngine, davis_root: str,
+                      split: str = "val", out_dir: Optional[str] = None,
+                      max_sequences: Optional[int] = None,
+                      evaluate: bool = True):
+    """Dataset-level VOS: run every sequence, export PNGs, optionally score.
 
     (reference: the VOS infer tool + DAVIS evaluator, SURVEY.md §3.3)
+
+    Host pipeline: sequence i+1 is decoded on a background thread while the
+    TPU scans sequence i; PNG export also runs off the critical path.
     """
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
-    from ..data.davis import (DavisCatalog, read_image_bgr,
-                              read_indexed_png, write_indexed_png)
+    from ..data.davis import (DavisCatalog, read_indexed_png,
+                              read_sequence_frames, write_sequence_pngs)
     from ..metrics.davis_jf import evaluate_dataset, evaluate_sequence
 
     cat = DavisCatalog(davis_root)
     names = cat.split_sequences(split)
     if max_sequences:
         names = names[:max_sequences]
-    per_seq = {}
-    for name in names:
-        seq = cat.sequence(name)
-        frames = np.stack([read_image_bgr(p) for p in seq.frame_paths])
+
+    seqs = [cat.sequence(n) for n in names]
+    decode_pool = ThreadPoolExecutor(max_workers=1)
+    write_pool = ThreadPoolExecutor(max_workers=2)
+    futures = {}
+    if seqs:
+        futures[0] = decode_pool.submit(read_sequence_frames, seqs[0])
+
+    all_preds = {}
+    pending_writes = []
+    for i, (name, seq) in enumerate(zip(names, seqs)):
+        frames = futures.pop(i).result()
+        if i + 1 < len(seqs):
+            futures[i + 1] = decode_pool.submit(read_sequence_frames,
+                                                seqs[i + 1])
         gt0 = read_indexed_png(seq.anno_paths[0])
         preds = engine.run_sequence(frames, gt0)
+        all_preds[name] = preds
         if out_dir:
-            d = os.path.join(out_dir, name)
-            os.makedirs(d, exist_ok=True)
-            for i, p in enumerate(preds):
-                write_indexed_png(os.path.join(d, f"{i:05d}.png"), p)
+            pending_writes.append(write_pool.submit(
+                write_sequence_pngs, os.path.join(out_dir, name), preds))
+    for f in pending_writes:
+        f.result()
+    decode_pool.shutdown()
+    write_pool.shutdown()
+
+    if not evaluate:
+        return all_preds, None
+    per_seq = {}
+    for name, seq in zip(names, seqs):
         gts = [read_indexed_png(p) for p in seq.anno_paths]
-        if len(gts) == len(preds):
-            per_seq[name] = evaluate_sequence(preds, gts)
+        if len(gts) == len(all_preds[name]):
+            per_seq[name] = evaluate_sequence(all_preds[name], gts)
     return per_seq, evaluate_dataset(per_seq)
+
+
+def run_davis_eval(engine: VOSEngine, davis_root: str, split: str = "val",
+                   out_dir: Optional[str] = None,
+                   max_sequences: Optional[int] = None):
+    """Back-compat wrapper returning (per_seq, aggregate)."""
+    return run_davis_dataset(engine, davis_root, split, out_dir,
+                             max_sequences, evaluate=True)

@@ -48,6 +48,21 @@ def _dtype(cfg: Config):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+def init_model_params(model: "GeneralizedRCNN", key,
+                      padded_hw: Tuple[int, int]):
+    """Jitted parameter init (flax init is eager by default — ruinous over
+    a remote-device tunnel; one compiled program instead)."""
+    ph, pw = padded_hw
+
+    def _init(k):
+        dummy = jnp.zeros((1, ph, pw, 3), jnp.float32)
+        hw = jnp.asarray([[float(ph), float(pw)]], jnp.float32)
+        return model.init(k, dummy, hw,
+                          method=GeneralizedRCNN.init_all)["params"]
+
+    return jax.jit(_init)(key)
+
+
 class GeneralizedRCNN(nn.Module):
     """Mask R-CNN (ResNet-C4 or ResNet-FPN) with traced proposals."""
 
@@ -118,15 +133,11 @@ class GeneralizedRCNN(nn.Module):
             feats = self.neck(feats)
         return feats
 
-    def __call__(self, images: jnp.ndarray, im_hw: jnp.ndarray,
-                 train: bool = False,
-                 proposal_override: Proposals | None = None) -> RCNNOutputs:
-        """images: (B, H, W, 3) preprocessed NHWC; im_hw: (B, 2) float.
+    def rpn_proposals(self, images: jnp.ndarray, im_hw: jnp.ndarray,
+                      train: bool = False):
+        """Backbone + RPN + traced proposal generation.
 
-        proposal_override: training path injects sampled RoIs here
-        (reference: GenerateProposalLabelsOp swaps proposals for sampled
-        fg/bg rois during training).
-        """
+        Returns (feats, rpn_logits, rpn_deltas, proposals)."""
         cfg = self.cfg
         feats = self.extract_feats(images)
         rpn_out = [self.rpn_head(f) for f in feats]
@@ -150,21 +161,36 @@ class GeneralizedRCNN(nn.Module):
                                           cfg.rpn.min_size)
 
         proposals = jax.vmap(per_image)(logits, deltas, im_hw)
-        rois = proposals.boxes if proposal_override is None \
-            else proposal_override.boxes
-        if proposal_override is not None:
-            proposals = proposal_override
+        return feats, logits, deltas, proposals
 
+    def box_forward(self, feats, rois: jnp.ndarray):
+        """RoIAlign + box head on given rois: (B, R, 4) -> scores/deltas."""
         box_feats = self.roi_transform(feats, rois, self._box_in_res)
         b, r = box_feats.shape[:2]
         flat = box_feats.reshape((b * r,) + box_feats.shape[2:])
         head = self.box_head(flat)
         cls_scores, bbox_deltas = self.box_outs(head)
+        return (cls_scores.astype(jnp.float32).reshape(b, r, -1),
+                bbox_deltas.astype(jnp.float32).reshape(b, r, -1))
+
+    def __call__(self, images: jnp.ndarray, im_hw: jnp.ndarray,
+                 train: bool = False,
+                 proposal_override: Proposals | None = None) -> RCNNOutputs:
+        """images: (B, H, W, 3) preprocessed NHWC; im_hw: (B, 2) float.
+
+        proposal_override: training path injects sampled RoIs here
+        (reference: GenerateProposalLabelsOp swaps proposals for sampled
+        fg/bg rois during training).
+        """
+        feats, logits, deltas, proposals = self.rpn_proposals(
+            images, im_hw, train)
+        if proposal_override is not None:
+            proposals = proposal_override
+        cls_scores, bbox_deltas = self.box_forward(feats, proposals.boxes)
         return RCNNOutputs(
-            proposals=proposals,
-            cls_scores=cls_scores.astype(jnp.float32).reshape(b, r, -1),
-            bbox_deltas=bbox_deltas.astype(jnp.float32).reshape(b, r, -1),
-            feats=feats, rpn_logits=logits, rpn_deltas=deltas)
+            proposals=proposals, cls_scores=cls_scores,
+            bbox_deltas=bbox_deltas, feats=feats, rpn_logits=logits,
+            rpn_deltas=deltas)
 
     def roi_transform(self, feats, rois: jnp.ndarray,
                       resolution: int) -> jnp.ndarray:

@@ -193,7 +193,10 @@ def render_indexed(state: TrackState, out_hw: Tuple[int, int],
     PNG writing); background where no track exceeds the threshold.
     """
     k = state.masks.shape[0]
-    up = jax.image.resize(state.masks, (k,) + tuple(out_hw), "linear")
+    # bf16 halves the HBM traffic of the big upsample; threshold compare is
+    # insensitive to the precision loss.
+    up = jax.image.resize(state.masks.astype(jnp.bfloat16),
+                          (k,) + tuple(out_hw), "linear")
     pri = jnp.where(state.alive, state.score, -jnp.inf)
     val = jnp.where(up > mask_thresh, pri[:, None, None], -jnp.inf)
     val = jnp.broadcast_to(val, up.shape)

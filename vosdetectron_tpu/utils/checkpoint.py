@@ -1,0 +1,31 @@
+"""Checkpoint utilities (reference: lib/utils/net.py save_ckpt/load_ckpt).
+
+Orbax-backed; params-only loading for inference tools.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    return os.path.join(ckpt_dir, steps[-1]) if steps else None
+
+
+def load_params(path: str):
+    """Load the params subtree from a Trainer checkpoint (or a dir of
+    them — picks the latest)."""
+    import orbax.checkpoint as ocp
+
+    if os.path.isdir(path) and not os.path.basename(path).startswith(
+            "step_"):
+        latest = latest_checkpoint(path)
+        if latest is None:
+            raise FileNotFoundError(f"no checkpoints under {path}")
+        path = latest
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path)
+    return restored["params"] if "params" in restored else restored
