@@ -213,6 +213,11 @@ class VOSCfg:
     new_track_thresh: float = 0.7  # detection score to spawn a track (unsup)
     semi_supervised: bool = True  # DAVIS protocol: first-frame GT instances
     miss_tolerance: int = 10  # frames a track may go unmatched before retire
+    # Device-side render resolution for the per-frame indexed map; 0 = full
+    # padded resolution. Lower values shrink device->host transfers (the id
+    # map is upsampled nearest on host) at a small boundary-accuracy cost.
+    render_scale_den: int = 1  # render at padded_size / den
+    use_pallas_render: bool = False  # fused paste kernel for id maps
 
 
 @dataclass(frozen=True)

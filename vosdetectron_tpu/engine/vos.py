@@ -29,7 +29,8 @@ from ..config import Config
 from ..models.generalized_rcnn import GeneralizedRCNN
 from ..models.propagation import (TrackState, associate_and_update,
                                   empty_track_state, masked_embedding,
-                                  propagate_identity, render_indexed)
+                                  propagate_identity, render_indexed,
+                                  render_indexed_pallas)
 from ..ops.mask_paste import paste_masks_in_image
 from .inference import postprocess_boxes, select_class_masks
 
@@ -128,11 +129,14 @@ class VOSEngine:
         det_masks_lr, det_emb, scores, valid = self._detect_chunk(
             params, frames_u8, scale)
 
+        render = (render_indexed_pallas if cfg.vos.use_pallas_render
+                  else render_indexed)
+
         def step(st, per_frame):
             dm, de, sc, va = per_frame
             propagated = propagate_identity(st)
             st = associate_and_update(cfg, st, dm, de, sc, va, propagated)
-            idmap = render_indexed(st, out_hw, cfg.mrcnn.thresh_binarize)
+            idmap = render(st, out_hw, cfg.mrcnn.thresh_binarize)
             return st, idmap.astype(jnp.uint8)
 
         return jax.lax.scan(step, state,
@@ -232,7 +236,7 @@ class VOSEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         up_pool = ThreadPoolExecutor(max_workers=1)
-        down_pool = ThreadPoolExecutor(max_workers=1)
+        down_pool = ThreadPoolExecutor(max_workers=3)
 
         def upload(i):
             # device_put on the raw numpy chunk: the jnp.asarray route
@@ -245,16 +249,19 @@ class VOSEngine:
             buf = up_fut.result()
             if i + 1 < chunks.shape[0]:
                 up_fut = up_pool.submit(upload, i + 1)
+            den = max(cfg.vos.render_scale_den, 1)
+            ph, pw = cfg.test.padded_image_size
             state, ids = self._scan_chunk(self.params, state, scale,
-                                          cfg.test.padded_image_size, buf)
+                                          (ph // den, pw // den), buf)
             downloads.append(down_pool.submit(np.asarray, ids))
         idmaps = np.concatenate([f.result() for f in downloads])[:t]
         up_pool.shutdown()
         down_pool.shutdown()
 
+        den = max(cfg.vos.render_scale_den, 1)
         out = []
         for fr in range(t):
-            m = idmaps[fr][:nh, :nw].astype(np.uint8)
+            m = idmaps[fr][:nh // den, :nw // den].astype(np.uint8)
             out.append(cv2.resize(m, (w0, h0),
                                   interpolation=cv2.INTER_NEAREST))
         if first_frame_gt is not None:

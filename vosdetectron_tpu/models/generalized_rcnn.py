@@ -200,25 +200,48 @@ class GeneralizedRCNN(nn.Module):
         """
         cfg = self.cfg
         sr = cfg.fast_rcnn.roi_xform_sampling_ratio
+        use_pallas = cfg.fast_rcnn.roi_xform_method == "roi_align_pallas"
         if self.is_fpn:
             lo, hi = cfg.fpn.roi_min_level, cfg.fpn.roi_max_level
             base = cfg.fpn.min_level
             roi_feats = tuple(feats[lo - base: hi - base + 1])
             strides = [2 ** l for l in range(lo, hi + 1)]
 
-            def per_image(fs, bx):
-                return roi_align_pyramid(
-                    [f.astype(jnp.float32) for f in fs], bx, strides, lo, hi,
-                    resolution, sr, cfg.fpn.roi_canonical_scale,
+            if use_pallas and len(strides) == 4:
+                # Pallas kernel path: keep the compute dtype (bf16 windows
+                # halve DMA traffic); the whole batch is ONE kernel launch
+                # (images stacked vertically in the level atlases).
+                from ..ops.pallas.roi_align_pallas import \
+                    roi_align_pyramid_pallas
+
+                out = roi_align_pyramid_pallas(
+                    list(roi_feats), rois, strides, lo, hi, resolution,
+                    sr, cfg.fpn.roi_canonical_scale,
                     cfg.fpn.roi_canonical_level)
+            else:
+                def per_image(fs, bx):
+                    return roi_align_pyramid(
+                        [f.astype(jnp.float32) for f in fs], bx, strides,
+                        lo, hi, resolution, sr,
+                        cfg.fpn.roi_canonical_scale,
+                        cfg.fpn.roi_canonical_level)
 
-            out = jax.vmap(per_image)(roi_feats, rois)
+                out = jax.vmap(per_image)(roi_feats, rois)
         else:
-            def per_image(f, bx):
-                return roi_align(f.astype(jnp.float32), bx,
-                                 1.0 / cfg.rpn.stride, resolution, sr)
+            if use_pallas:
+                from ..ops.pallas.roi_align_pallas import roi_align_pallas
 
-            out = jax.vmap(per_image)(feats[0], rois)
+                b = rois.shape[0]
+                out = jnp.stack([
+                    roi_align_pallas(feats[0][i], rois[i],
+                                     1.0 / cfg.rpn.stride, resolution, sr)
+                    for i in range(b)])
+            else:
+                def per_image(f, bx):
+                    return roi_align(f.astype(jnp.float32), bx,
+                                     1.0 / cfg.rpn.stride, resolution, sr)
+
+                out = jax.vmap(per_image)(feats[0], rois)
         return out.astype(_dtype(cfg))
 
     def init_all(self, images: jnp.ndarray, im_hw: jnp.ndarray):

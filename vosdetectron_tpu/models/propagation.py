@@ -185,6 +185,21 @@ def _spawn_tracks(cfg: Config, state: TrackState, det_masks_lr, det_emb,
     return state
 
 
+def render_indexed_pallas(state: TrackState, out_hw: Tuple[int, int],
+                          mask_thresh: float = 0.5) -> jnp.ndarray:
+    """Fused Pallas renderer: track masks -> (H, W) id map without the
+    (K, H, W) upsampled stack (ops/pallas/mask_paste_pallas.py)."""
+    from ..ops.pallas.mask_paste_pallas import paste_flatten_pallas
+
+    k = state.masks.shape[0]
+    h, w = out_hw
+    full = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, float(w), float(h)], jnp.float32), (k, 4))
+    return paste_flatten_pallas(state.masks, full, state.score,
+                                state.obj_id, state.alive, h, w,
+                                mask_thresh)
+
+
 def render_indexed(state: TrackState, out_hw: Tuple[int, int],
                    mask_thresh: float = 0.5) -> jnp.ndarray:
     """Compose track masks into an (H, W) int32 indexed map.
