@@ -1,0 +1,52 @@
+"""Multi-sequence VOS eval sharded over the CPU mesh (workload 5 eval)."""
+
+import numpy as np
+import pytest
+
+from vosdetectron_tpu.config import Config, apply_overrides
+from vosdetectron_tpu.data.davis import make_synthetic_sequence
+from vosdetectron_tpu.engine.vos import VOSEngine, run_sequences_sharded
+from vosdetectron_tpu.metrics.davis_jf import evaluate_sequence
+from vosdetectron_tpu.parallel.mesh import make_mesh
+
+
+@pytest.mark.slow
+def test_sharded_multi_sequence_matches_single():
+    cfg = apply_overrides(Config(), [
+        ("model.num_classes", 2),
+        ("rpn.pre_nms_top_n_test", 64),
+        ("rpn.post_nms_top_n_test", 16),
+        ("test.padded_image_size", (128, 192)),
+        ("test.scale", 96),
+        ("test.max_size", 192),
+        ("test.detections_per_im", 8),
+        ("vos.max_tracks", 4),
+        ("vos.track_mask_size", (32, 48)),
+        ("vos.assoc_score_thresh", 0.99),
+        ("vos.miss_tolerance", 100),
+    ]).validate()
+
+    seqs, gts = [], []
+    for seed in (0, 1):
+        frames, idmaps = make_synthetic_sequence(
+            seed, num_frames=4, size=(96, 160), num_objects=2)
+        frames = np.repeat(frames[:1], 4, axis=0)
+        idmaps = np.repeat(idmaps[:1], 4, axis=0)
+        seqs.append(frames)
+        gts.append(idmaps)
+
+    frames_s = np.stack(seqs)          # (2, 4, 96, 160, 3)
+    first = np.stack([g[0] for g in gts])
+
+    eng = VOSEngine(cfg, rng=0, chunk=4)
+    mesh = make_mesh(num_devices=2)
+    preds = run_sequences_sharded(eng, frames_s, first, mesh)
+
+    assert len(preds) == 2 and len(preds[0]) == 4
+    for i in range(2):
+        # parity with the single-sequence engine
+        single = eng.run_sequence(seqs[i], gts[i][0])
+        for fr in range(4):
+            assert (preds[i][fr] == single[fr]).mean() > 0.999, (i, fr)
+        res = evaluate_sequence(preds[i], list(gts[i]))
+        assert res["J"] > 0.7, res

@@ -168,6 +168,12 @@ class TestCfg:
     soft_nms_enabled: bool = False
     soft_nms_method: str = "linear"
     soft_nms_sigma: float = 0.5
+    bbox_vote_enabled: bool = False
+    bbox_vote_thresh: float = 0.8
+    # Multi-scale / flip test-time augmentation (reference: TEST.BBOX_AUG).
+    bbox_aug_enabled: bool = False
+    bbox_aug_scales: Tuple[int, ...] = ()
+    bbox_aug_flip: bool = False
     # Fixed-shape maxima.
     max_proposals: int = 1000  # RoIs entering box head at test time
 

@@ -1,0 +1,175 @@
+"""COCO-json dataset support — catalog, roidb, GT mask rasterization.
+
+TPU-native rebuild of the reference's COCO stack
+(reference: lib/datasets/json_dataset.py ~400 LoC JsonDataset via
+pycocotools; lib/datasets/roidb.py ~300 LoC combined_roidb_for_training;
+lib/datasets/dataset_catalog.py ~150 LoC). pycocotools is unavailable in
+this image: parsing is plain ``json`` and mask work binds to the native
+C++ host-ops (vosdetectron_tpu/native).
+
+Outputs the same fixed-shape padded example format as data/detection_data
+so the SPMD train step is dataset-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import Config
+from .. import native
+
+# name -> (image dir, annotation json), reference: dataset_catalog.py
+DATASET_CATALOG: Dict[str, Tuple[str, str]] = {
+    "coco_2017_train": ("coco/images/train2017",
+                        "coco/annotations/instances_train2017.json"),
+    "coco_2017_val": ("coco/images/val2017",
+                      "coco/annotations/instances_val2017.json"),
+}
+
+
+@dataclass
+class CocoExample:
+    image_path: str
+    height: int
+    width: int
+    boxes: np.ndarray        # (G, 4) xyxy float32
+    classes: np.ndarray      # (G,) int32 contiguous ids (1..K-1)
+    segms: list              # per-instance polygon lists or RLE dicts
+    iscrowd: np.ndarray      # (G,) bool
+    flipped: bool = False
+
+
+class CocoDataset:
+    """Plain-json COCO instances parser (JsonDataset equivalent)."""
+
+    def __init__(self, ann_file: str, image_dir: str):
+        with open(ann_file) as f:
+            data = json.load(f)
+        self.image_dir = image_dir
+        cats = sorted(c["id"] for c in data.get("categories", []))
+        # contiguous class ids: 0 background, 1..K
+        self.cat_to_contiguous = {c: i + 1 for i, c in enumerate(cats)}
+        self.contiguous_to_cat = {v: k for k, v in
+                                  self.cat_to_contiguous.items()}
+        self.class_names = ["__background__"] + [
+            c["name"] for c in sorted(data.get("categories", []),
+                                      key=lambda c: c["id"])]
+        self.images = {im["id"]: im for im in data["images"]}
+        self.anns_by_image: Dict[int, list] = {i: [] for i in self.images}
+        for ann in data.get("annotations", []):
+            if ann["image_id"] in self.anns_by_image:
+                self.anns_by_image[ann["image_id"]].append(ann)
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.cat_to_contiguous) + 1
+
+    def image_ids(self) -> List[int]:
+        return sorted(self.images)
+
+    def example(self, image_id: int,
+                include_crowd: bool = False) -> CocoExample:
+        im = self.images[image_id]
+        anns = self.anns_by_image.get(image_id, [])
+        boxes, classes, segms, crowd = [], [], [], []
+        for a in anns:
+            if a.get("ignore", 0):
+                continue
+            x, y, w, h = a["bbox"]
+            if w <= 0 or h <= 0:
+                continue
+            is_crowd = bool(a.get("iscrowd", 0))
+            if is_crowd and not include_crowd:
+                continue
+            boxes.append([x, y, x + w, y + h])
+            classes.append(self.cat_to_contiguous[a["category_id"]])
+            segms.append(a.get("segmentation", []))
+            crowd.append(is_crowd)
+        return CocoExample(
+            image_path=os.path.join(self.image_dir, im["file_name"]),
+            height=im["height"], width=im["width"],
+            boxes=np.asarray(boxes, np.float32).reshape(-1, 4),
+            classes=np.asarray(classes, np.int32),
+            segms=segms,
+            iscrowd=np.asarray(crowd, bool))
+
+    def gt_mask(self, segm, h: int, w: int) -> np.ndarray:
+        """Segmentation (polygons or RLE dict) -> (h, w) uint8 mask."""
+        if isinstance(segm, dict):  # RLE
+            return native.rle_decode(segm)
+        return native.polys_to_mask(segm, h, w)
+
+
+def coco_roidb(dataset: CocoDataset, use_flipped: bool = True
+               ) -> List[Tuple[int, bool]]:
+    """(image_id, flipped) roidb with flip duplication, empties filtered
+    (reference: combined_roidb_for_training)."""
+    out = []
+    for iid in dataset.image_ids():
+        ex = dataset.example(iid)
+        if len(ex.boxes) == 0:
+            continue
+        out.append((iid, False))
+        if use_flipped:
+            out.append((iid, True))
+    return out
+
+
+def load_coco_example(cfg: Config, dataset: CocoDataset, image_id: int,
+                      flipped: bool, scale: int
+                      ) -> Tuple[np.ndarray, np.ndarray, dict]:
+    """COCO example -> the fixed-shape training tuple
+    (padded image, (nh, nw), gt dict) matching detection_data.load_example.
+    """
+    import cv2
+
+    ex = dataset.example(image_id)
+    im = cv2.imread(ex.image_path, cv2.IMREAD_COLOR)
+    if im is None:
+        raise FileNotFoundError(ex.image_path)
+    gt_boxes = ex.boxes.copy()
+    if flipped:
+        im = im[:, ::-1]
+        w = ex.width
+        gt_boxes = gt_boxes[:, [2, 1, 0, 3]]
+        gt_boxes[:, 0] = w - gt_boxes[:, 0]
+        gt_boxes[:, 2] = w - gt_boxes[:, 2]
+
+    h, w = im.shape[:2]
+    s = min(scale / min(h, w), cfg.train.max_size / max(h, w))
+    nh, nw = int(round(h * s)), int(round(w * s))
+    ph, pw = cfg.train.padded_image_size
+    im = cv2.resize(im.astype(np.float32), (nw, nh),
+                    interpolation=cv2.INTER_LINEAR)
+    im -= np.asarray(cfg.data.pixel_means, np.float32)
+    img = np.zeros((ph, pw, 3), np.float32)
+    img[:min(nh, ph), :min(nw, pw)] = im[:ph, :pw]
+
+    g = cfg.train.max_gt_instances
+    mh, mw = ph // 4, pw // 4
+    boxes = np.zeros((g, 4), np.float32)
+    classes = np.zeros((g,), np.int32)
+    masks = np.zeros((g, mh, mw), np.float32)
+    valid = np.zeros((g,), bool)
+    n = min(len(gt_boxes), g)
+    boxes[:n] = np.clip(gt_boxes[:n] * s, 0,
+                        [pw, ph, pw, ph]).astype(np.float32)
+    classes[:n] = ex.classes[:n]
+    valid[:n] = True
+    for i in range(n):
+        m = dataset.gt_mask(ex.segms[i], ex.height, ex.width)
+        if flipped:
+            m = m[:, ::-1]
+        mm = cv2.resize(m.astype(np.float32), (nw, nh),
+                        interpolation=cv2.INTER_LINEAR)
+        canvas = np.zeros((ph, pw), np.float32)
+        canvas[:min(nh, ph), :min(nw, pw)] = mm[:ph, :pw]
+        masks[i] = cv2.resize(canvas, (mw, mh),
+                              interpolation=cv2.INTER_LINEAR)
+    gt = dict(boxes=boxes, classes=classes, masks=masks, valid=valid)
+    return img, np.asarray([nh, nw], np.float32), gt

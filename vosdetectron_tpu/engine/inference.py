@@ -83,10 +83,32 @@ def postprocess_boxes(outputs: RCNNOutputs, im_hw: jnp.ndarray,
         cand_boxes = flat_boxes[cand_idx]
         cand_cls = flat_cls[cand_idx]
 
-        idx, keep_valid, kept_scores = batched_nms(
-            cand_boxes, jnp.where(cand_valid, cand_scores, -1e10), cand_cls,
-            cfg.test.nms, cfg.test.detections_per_im, valid=cand_valid)
-        return (cand_boxes[idx], kept_scores, cand_cls[idx],
+        safe_scores = jnp.where(cand_valid, cand_scores, -1e10)
+        if cfg.test.soft_nms_enabled:
+            # Per-class soft-NMS via the class-offset trick
+            # (reference: cython_nms.soft_nms dispatched per class).
+            max_c = jnp.max(cand_boxes) + 1.0
+            off = cand_cls.astype(cand_boxes.dtype)[:, None] * max_c
+            from ..ops.nms import soft_nms as soft_nms_traced
+
+            idx, keep_valid, kept_scores = soft_nms_traced(
+                cand_boxes + off, safe_scores,
+                cfg.test.detections_per_im,
+                method=cfg.test.soft_nms_method,
+                sigma=cfg.test.soft_nms_sigma,
+                score_thresh=cfg.test.score_thresh, valid=cand_valid)
+        else:
+            idx, keep_valid, kept_scores = batched_nms(
+                cand_boxes, safe_scores, cand_cls, cfg.test.nms,
+                cfg.test.detections_per_im, valid=cand_valid)
+        out_boxes = cand_boxes[idx]
+        if cfg.test.bbox_vote_enabled:
+            from ..ops.nms import box_voting
+
+            out_boxes = box_voting(out_boxes, keep_valid, cand_boxes,
+                                   jnp.maximum(safe_scores, 0.0),
+                                   cand_valid, cfg.test.bbox_vote_thresh)
+        return (out_boxes, kept_scores, cand_cls[idx],
                 keep_valid & (kept_scores > cfg.test.score_thresh))
 
     boxes, scores, classes, valid = jax.vmap(per_image)(
@@ -102,6 +124,42 @@ def select_class_masks(mask_logits: jnp.ndarray,
         mask_logits, classes[:, :, None, None, None].astype(jnp.int32),
         axis=-1)[..., 0]
     return jax.nn.sigmoid(sel)
+
+
+def collect_candidates(outputs: RCNNOutputs, im_hw: jnp.ndarray,
+                       cfg: Config, topk: int = 1000):
+    """Pre-NMS per-class candidates (for test-time augmentation merging).
+
+    Returns (boxes (B, K, 4), scores (B, K), classes (B, K), valid (B, K)).
+    """
+    probs = jax.nn.softmax(outputs.cls_scores, axis=-1)
+    b, r, k = probs.shape
+    deltas = outputs.bbox_deltas.reshape(b, r, -1, 4)
+    nbox = deltas.shape[2]
+
+    def per_image(probs_i, deltas_i, rois_i, roi_valid_i, hw):
+        if nbox == 2:
+            dec = box_ops.bbox_transform_inv(
+                rois_i[:, None, :], deltas_i[:, 1:2, :],
+                cfg.model.bbox_reg_weights)
+            dec = jnp.broadcast_to(dec, (r, k, 4))
+        else:
+            dec = box_ops.bbox_transform_inv(
+                rois_i[:, None, :], deltas_i, cfg.model.bbox_reg_weights)
+        dec = box_ops.clip_boxes(dec, hw)
+        fg_probs = probs_i[:, 1:].reshape(-1)
+        fg_boxes = dec[:, 1:, :].reshape(-1, 4)
+        fg_cls = jnp.broadcast_to(
+            jnp.arange(1, k, dtype=jnp.int32)[None], (r, k - 1)).reshape(-1)
+        fg_valid = jnp.broadcast_to(roi_valid_i[:, None],
+                                    (r, k - 1)).reshape(-1)
+        masked = jnp.where(fg_valid & (fg_probs > cfg.test.score_thresh),
+                           fg_probs, -jnp.inf)
+        sc, idx = jax.lax.top_k(masked, min(topk, masked.shape[0]))
+        return fg_boxes[idx], sc, fg_cls[idx], jnp.isfinite(sc)
+
+    return jax.vmap(per_image)(probs, deltas, outputs.proposals.boxes,
+                               outputs.proposals.valid, im_hw)
 
 
 # ---------------------------------------------------------------------------
@@ -175,6 +233,79 @@ class Detector:
     def detect(self, images: jnp.ndarray, im_hw: jnp.ndarray) -> Detections:
         """images: (B, H, W, 3) preprocessed; im_hw: (B, 2)."""
         return self._detect(self.params, images, im_hw)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _forward_candidates(self, params, images, im_hw):
+        out = self.model.apply({"params": params}, images, im_hw)
+        return out, collect_candidates(out, im_hw, self.cfg)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _merge_nms(self, boxes, scores, classes):
+        return batched_nms(boxes, scores, classes, self.cfg.test.nms,
+                           self.cfg.test.detections_per_im,
+                           valid=scores > -1e9)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _mask_on_boxes(self, params, feats, boxes, classes):
+        logits = self.model.apply({"params": params}, feats, boxes,
+                                  method=GeneralizedRCNN.mask_branch)
+        return select_class_masks(logits, classes)
+
+    def detect_augmented(self, im_bgr: np.ndarray) -> Detections:
+        """Multi-scale / flip TTA (reference: lib/core/test.py::
+        im_detect_bbox_aug): pre-NMS candidates from every augmentation are
+        mapped back to original-image coordinates, unioned, and passed
+        through ONE final NMS + limit; masks come from the base scale's
+        features on the merged boxes (reference MASK_AUG default off).
+
+        Returns detections in ORIGINAL image coordinates.
+        """
+        cfg = self.cfg
+        scales = ((cfg.test.scale,) + tuple(cfg.test.bbox_aug_scales)
+                  if cfg.test.bbox_aug_enabled else (cfg.test.scale,))
+        flips = ((False, True) if (cfg.test.bbox_aug_enabled
+                                   and cfg.test.bbox_aug_flip)
+                 else (False,))
+        h0, w0 = im_bgr.shape[:2]
+
+        cand_b, cand_s, cand_c = [], [], []
+        base_feats = None
+        base_scale = None
+        for sc in scales:
+            for flip in flips:
+                im = im_bgr[:, ::-1] if flip else im_bgr
+                padded, hw, s = preprocess_np(
+                    im, sc, cfg.test.max_size, cfg.test.padded_image_size,
+                    cfg.data.pixel_means)
+                out, (bx, scs, cls, val) = self._forward_candidates(
+                    self.params, jnp.asarray(padded[None]),
+                    jnp.asarray(hw[None]))
+                bx = np.asarray(bx[0]) / s
+                if flip:
+                    bx = bx[:, [2, 1, 0, 3]]
+                    bx[:, 0] = w0 - bx[:, 0]
+                    bx[:, 2] = w0 - bx[:, 2]
+                v = np.asarray(val[0])
+                cand_b.append(bx)
+                cand_s.append(np.where(v, np.asarray(scs[0]), -1e10))
+                cand_c.append(np.asarray(cls[0]))
+                if sc == cfg.test.scale and not flip:
+                    base_feats = out.feats
+                    base_scale = s
+
+        boxes = jnp.asarray(np.concatenate(cand_b))
+        scores = jnp.asarray(np.concatenate(cand_s))
+        classes = jnp.asarray(np.concatenate(cand_c))
+        idx, valid, kept = self._merge_nms(boxes, scores, classes)
+        det_boxes = boxes[idx]
+        dets = Detections(det_boxes[None], kept[None],
+                          classes[idx][None], valid[None])
+        if cfg.model.mask_on and base_feats is not None:
+            masks = self._mask_on_boxes(self.params, base_feats,
+                                        det_boxes[None] * base_scale,
+                                        dets.classes)
+            dets = dets._replace(masks=masks)
+        return dets
 
     def paste(self, dets: Detections, im_h: int, im_w: int,
               scale: float = 1.0) -> jnp.ndarray:

@@ -142,6 +142,23 @@ class VOSEngine:
         return jax.lax.scan(step, state,
                             (det_masks_lr, det_emb, scores, valid))
 
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    def _scan_chunk_multi(self, params, states: TrackState, scale: float,
+                          out_hw, frames_u8: jnp.ndarray):
+        """Sharded multi-sequence scan (workload 5 eval half).
+
+        states: TrackState with leading sequence axis S; frames_u8:
+        (S, C, H0, W0, 3). The leading axis shards over the data mesh
+        (caller places inputs with shard_batch) — each device advances its
+        own sequences; there is NO cross-sequence dependency so GSPMD
+        inserts zero collectives in the hot loop.
+        """
+        def one(st, fr):
+            return self._scan_chunk.__wrapped__(self, params, st, scale,
+                                                out_hw, fr)
+
+        return jax.vmap(one)(states, frames_u8)
+
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _init_state(self, params, frame_u8, gt_masks_lr, scale: float,
                     obj_ids) -> TrackState:
@@ -267,6 +284,69 @@ class VOSEngine:
         if first_frame_gt is not None:
             out[0] = first_frame_gt.astype(np.uint8)  # DAVIS protocol
         return out
+
+
+def run_sequences_sharded(engine: VOSEngine, frames: np.ndarray,
+                          first_gts: np.ndarray, mesh) -> List[List[np.ndarray]]:
+    """Batched multi-sequence VOS eval sharded over a device mesh
+    (workload 5: "batched multi-sequence eval sharded over a v5e-8").
+
+    frames: (S, T, H0, W0, 3) uint8 — S sequences of equal (padded) length;
+    first_gts: (S, H0, W0) first-frame id maps. S should be a multiple of
+    the mesh size. Requires the XLA RoIAlign path (the pallas kernel's
+    scalar prefetch cannot be vmapped).
+
+    Returns per-sequence lists of (H0, W0) id maps.
+    """
+    import cv2
+
+    from ..parallel.mesh import shard_batch
+
+    cfg = engine.cfg
+    s, t, h0, w0, _ = frames.shape
+    scale = engine._output_scale(h0, w0)
+    nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+
+    # Per-sequence init (host loop over S; states stacked + sharded).
+    states = []
+    for i in range(s):
+        gt_lr, obj_ids = engine._gt_to_track_masks(first_gts[i], scale)
+        states.append(engine._init_state(
+            engine.params, jnp.asarray(frames[i, 0]), jnp.asarray(gt_lr),
+            scale, jnp.asarray(obj_ids)))
+    states = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+    c = engine.chunk
+    pad_t = (-t) % c
+    if pad_t:
+        frames = np.concatenate(
+            [frames, np.repeat(frames[:, -1:], pad_t, 1)], axis=1)
+    chunks = frames.reshape(s, -1, c, h0, w0, 3)
+
+    den = max(cfg.vos.render_scale_den, 1)
+    ph, pw = cfg.test.padded_image_size
+    out_hw = (ph // den, pw // den)
+
+    with mesh:
+        states = shard_batch(mesh, states)
+        all_ids = []
+        for ci in range(chunks.shape[1]):
+            buf = shard_batch(mesh, jnp.asarray(chunks[:, ci]))
+            states, ids = engine._scan_chunk_multi(
+                engine.params, states, scale, out_hw, buf)
+            all_ids.append(np.asarray(ids))
+    idmaps = np.concatenate(all_ids, axis=1)[:, :t]  # (S, T, oh, ow)
+
+    out = []
+    for i in range(s):
+        seq = []
+        for fr in range(t):
+            m = idmaps[i, fr][: nh // den, : nw // den].astype(np.uint8)
+            seq.append(cv2.resize(m, (w0, h0),
+                                  interpolation=cv2.INTER_NEAREST))
+        seq[0] = first_gts[i].astype(np.uint8)
+        out.append(seq)
+    return out
 
 
 def run_davis_dataset(engine: VOSEngine, davis_root: str,

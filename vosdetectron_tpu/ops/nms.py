@@ -136,6 +136,22 @@ def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     return idx, ok, out_scores
 
 
+def box_voting(kept_boxes: jnp.ndarray, kept_valid: jnp.ndarray,
+               pool_boxes: jnp.ndarray, pool_scores: jnp.ndarray,
+               pool_valid: jnp.ndarray, thresh: float,
+               scoring: str = "id") -> jnp.ndarray:
+    """Box voting (reference: utils/boxes.py::box_voting): each kept box is
+    replaced by the score-weighted average of pool boxes with IoU >= thresh.
+    Fully traced, fixed shape."""
+    iou = pairwise_iou(kept_boxes, pool_boxes)  # (K, P)
+    w = jnp.where((iou >= thresh) & pool_valid[None, :],
+                  jnp.maximum(pool_scores, 1e-6)[None, :], 0.0)
+    num = w @ pool_boxes  # (K, 4)
+    den = jnp.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+    voted = num / den
+    return jnp.where(kept_valid[:, None], voted, kept_boxes)
+
+
 def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
                 class_ids: jnp.ndarray, iou_thresh: float,
                 max_out: int, valid: jnp.ndarray | None = None
