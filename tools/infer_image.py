@@ -36,7 +36,8 @@ def main():
         im = read_image_bgr(path)
         padded, hw, scale = preprocess_np(
             im, cfg.test.scale, cfg.test.max_size,
-            cfg.test.padded_image_size, cfg.data.pixel_means)
+            cfg.test.padded_image_size, cfg.data.pixel_means,
+            cfg.data.pixel_stds)
         out = det.detect(jnp.asarray(padded[None]), jnp.asarray(hw[None]))
         boxes = np.asarray(out.boxes[0]) / scale
         scores = np.asarray(out.scores[0])

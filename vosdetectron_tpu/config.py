@@ -241,6 +241,10 @@ class DataCfg:
 
     davis_root: str = "/data/DAVIS"
     pixel_means: Tuple[float, float, float] = (102.9801, 115.9465, 122.7717)  # BGR
+    # (1,1,1) = reference parity (Detectron does not divide by std; its
+    # pretrained weights expect raw-scale inputs). Set ~ (57.4, 57.1, 58.4)
+    # for from-scratch training so activations start unit-scale.
+    pixel_stds: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     num_workers: int = 4
     prefetch_depth: int = 2
 

@@ -147,6 +147,7 @@ def load_coco_example(cfg: Config, dataset: CocoDataset, image_id: int,
     im = cv2.resize(im.astype(np.float32), (nw, nh),
                     interpolation=cv2.INTER_LINEAR)
     im -= np.asarray(cfg.data.pixel_means, np.float32)
+    im /= np.asarray(cfg.data.pixel_stds, np.float32)
     img = np.zeros((ph, pw, 3), np.float32)
     img[:min(nh, ph), :min(nw, pw)] = im[:ph, :pw]
 

@@ -69,6 +69,7 @@ def load_example(cfg: Config, rec: FrameRecord, scale: int
     im = cv2.resize(im.astype(np.float32), (nw, nh),
                     interpolation=cv2.INTER_LINEAR)
     im -= np.asarray(cfg.data.pixel_means, np.float32)
+    im /= np.asarray(cfg.data.pixel_stds, np.float32)
     img = np.zeros((ph, pw, 3), np.float32)
     img[:nh, :nw] = im[:min(nh, ph), :min(nw, pw)]
 

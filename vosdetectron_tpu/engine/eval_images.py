@@ -47,7 +47,8 @@ def evaluate_coco(detector: Detector, dataset: CocoDataset,
             im = cv2.imread(ex.image_path, cv2.IMREAD_COLOR)
             padded, hw, s = preprocess_np(
                 im, cfg.test.scale, cfg.test.max_size,
-                cfg.test.padded_image_size, cfg.data.pixel_means)
+                cfg.test.padded_image_size, cfg.data.pixel_means,
+                cfg.data.pixel_stds)
             imgs.append(padded)
             hws.append(hw)
             scales.append(s)

@@ -169,7 +169,8 @@ def collect_candidates(outputs: RCNNOutputs, im_hw: jnp.ndarray,
 
 def preprocess_np(im_bgr: np.ndarray, target_scale: int, max_size: int,
                   padded_hw: Tuple[int, int],
-                  pixel_means: Tuple[float, float, float]
+                  pixel_means: Tuple[float, float, float],
+                  pixel_stds: Tuple[float, float, float] = (1.0, 1.0, 1.0)
                   ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Host-side: BGR uint8 HWC -> float32 padded NHWC-ready frame.
 
@@ -184,6 +185,7 @@ def preprocess_np(im_bgr: np.ndarray, target_scale: int, max_size: int,
     im = cv2.resize(im_bgr.astype(np.float32), (nw, nh),
                     interpolation=cv2.INTER_LINEAR)
     im -= np.asarray(pixel_means, np.float32)
+    im /= np.asarray(pixel_stds, np.float32)
     ph, pw = padded_hw
     out = np.zeros((ph, pw, 3), np.float32)
     out[:nh, :nw] = im[:ph, :pw]
@@ -276,7 +278,7 @@ class Detector:
                 im = im_bgr[:, ::-1] if flip else im_bgr
                 padded, hw, s = preprocess_np(
                     im, sc, cfg.test.max_size, cfg.test.padded_image_size,
-                    cfg.data.pixel_means)
+                    cfg.data.pixel_means, cfg.data.pixel_stds)
                 out, (bx, scs, cls, val) = self._forward_candidates(
                     self.params, jnp.asarray(padded[None]),
                     jnp.asarray(hw[None]))

@@ -65,7 +65,8 @@ class VOSEngine:
         im = frame_u8.astype(jnp.float32)
         if (nh, nw) != (h0, w0):
             im = jax.image.resize(im, (nh, nw, 3), "linear")
-        im = im - jnp.asarray(cfg.data.pixel_means, jnp.float32)
+        im = (im - jnp.asarray(cfg.data.pixel_means, jnp.float32)) \
+            / jnp.asarray(cfg.data.pixel_stds, jnp.float32)
         ph, pw = cfg.test.padded_image_size
         im = jnp.pad(im, ((0, ph - nh), (0, pw - nw), (0, 0)))
         return im, jnp.asarray([nh, nw], jnp.float32)

@@ -200,7 +200,11 @@ class GeneralizedRCNN(nn.Module):
         """
         cfg = self.cfg
         sr = cfg.fast_rcnn.roi_xform_sampling_ratio
-        use_pallas = cfg.fast_rcnn.roi_xform_method == "roi_align_pallas"
+        method = cfg.fast_rcnn.roi_xform_method
+        use_pallas = method == "roi_align_pallas"
+        if method in ("roi_pool", "roi_crop"):
+            return self._legacy_roi_transform(feats, rois, resolution,
+                                              method)
         if self.is_fpn:
             lo, hi = cfg.fpn.roi_min_level, cfg.fpn.roi_max_level
             base = cfg.fpn.min_level
@@ -251,6 +255,42 @@ class GeneralizedRCNN(nn.Module):
             dummy = out.proposals.boxes[:, : 1, :]
             self.mask_branch(out.feats, dummy)
         return out
+
+    def _legacy_roi_transform(self, feats, rois: jnp.ndarray,
+                              resolution: int, method: str) -> jnp.ndarray:
+        """RoIPool / RoICrop dispatch (reference: roi_feature_transform's
+        'RoIPoolF' / 'RoICrop' branches). FPN uses per-level compute +
+        masked select (these legacy paths are not perf-critical)."""
+        from ..ops.roi_align import fpn_level_assignment, roi_pool
+        from ..ops.roi_crop import roi_crop
+
+        cfg = self.cfg
+        op = roi_pool if method == "roi_pool" else roi_crop
+
+        if not self.is_fpn:
+            out = jax.vmap(lambda f, bx: op(
+                f.astype(jnp.float32), bx, 1.0 / cfg.rpn.stride,
+                resolution))(feats[0], rois)
+            return out.astype(_dtype(cfg))
+
+        lo, hi = cfg.fpn.roi_min_level, cfg.fpn.roi_max_level
+        base = cfg.fpn.min_level
+        roi_feats = feats[lo - base: hi - base + 1]
+        strides = [2 ** l for l in range(lo, hi + 1)]
+
+        def per_image(fs, bx):
+            levels = fpn_level_assignment(bx, lo, hi,
+                                          cfg.fpn.roi_canonical_scale,
+                                          cfg.fpn.roi_canonical_level)
+            out = None
+            for i, (f, s) in enumerate(zip(fs, strides)):
+                o = op(f.astype(jnp.float32), bx, 1.0 / s, resolution)
+                sel = (levels == lo + i)[:, None, None, None]
+                out = o if out is None else jnp.where(sel, o, out)
+            return out
+
+        out = jax.vmap(per_image)(tuple(roi_feats), rois)
+        return out.astype(_dtype(cfg))
 
     def mask_branch(self, feats, boxes: jnp.ndarray) -> jnp.ndarray:
         """Mask logits for given boxes: (B, D, 4) -> (B, D, M, M, K)."""

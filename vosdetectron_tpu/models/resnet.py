@@ -32,13 +32,23 @@ STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
 
 
 class AffineChannel(nn.Module):
-    """Frozen BN: y = x * scale + bias (reference: AffineChannel2d)."""
+    """Frozen BN: y = x * scale + bias (reference: AffineChannel2d).
+
+    zero_init: initialize scale to 0 — used on each bottleneck's last
+    affine so residual blocks start as identity. With frozen BN there is
+    no statistic normalization, so WITHOUT this a randomly-initialized
+    50-layer trunk blows activations up exponentially (the reference never
+    trains from scratch — it always imports ImageNet weights, which
+    overwrite these values anyway)."""
 
     features: int
+    zero_init: bool = False
 
     @nn.compact
     def __call__(self, x):
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        init = nn.initializers.zeros if self.zero_init \
+            else nn.initializers.ones
+        scale = self.param("scale", init, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
@@ -76,7 +86,7 @@ class Bottleneck(nn.Module):
         y = nn.relu(y)
         y = nn.Conv(self.out, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv3")(y)
-        y = AffineChannel(self.out, name="bn3")(y)
+        y = AffineChannel(self.out, zero_init=True, name="bn3")(y)
         return nn.relu(y + shortcut)
 
 
