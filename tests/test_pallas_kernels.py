@@ -1,0 +1,121 @@
+"""Pallas kernel tests.
+
+The jnp-side operator construction (interp matrices, window origins, level
+routing) is tested on CPU — that is where the RoIAlign semantics live; the
+kernels themselves are DMA+matmul executors. Full kernel parity runs only
+on TPU (guarded), mirroring the drives in the verification logs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+def test_interp_operator_reproduces_bilinear_sampling(rng):
+    """Ay @ window == direct bilinear row sampling for in-window rois."""
+    from vosdetectron_tpu.ops.pallas.roi_align_pallas import (
+        WINDOW, _interp_operator)
+    from vosdetectron_tpu.ops.roi_align import roi_align
+
+    h = w = 96
+    feat = rng.randn(h, w, 4).astype(np.float32)
+    # roi within a window at origin (16, 16)
+    rois = np.array([[80, 70, 170, 160]], np.float32)  # scale .25 -> 20..42
+    scale = 0.25
+    x1 = rois[:, 0] * scale
+    y1 = rois[:, 1] * scale
+    rw = rois[:, 2] * scale - x1
+    rh = rois[:, 3] * scale - y1
+    oy = np.array([16], np.int32)
+    ox = np.array([16], np.int32)
+    ay = np.asarray(_interp_operator(jnp.asarray(y1), jnp.asarray(rh), h,
+                                     jnp.asarray(oy), 7, 2))[0]
+    ax = np.asarray(_interp_operator(jnp.asarray(x1), jnp.asarray(rw), w,
+                                     jnp.asarray(ox), 7, 2))[0]
+    win = feat[16:16 + WINDOW, 16:16 + WINDOW]
+    out = np.einsum("iw,whc->ihc", ay, win)
+    out = np.einsum("jh,ihc->ijc", ax, out)
+    out = out.reshape(7, 2, 7, 2, 4).mean(axis=(1, 3))
+    want = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                                scale, 7, 2))[0]
+    np.testing.assert_allclose(out, want, atol=1e-4)
+
+
+def test_interp_operator_rows_sum_to_one_inside(rng):
+    from vosdetectron_tpu.ops.pallas.roi_align_pallas import _interp_operator
+
+    lo = jnp.asarray(np.array([10.0], np.float32))
+    size = jnp.asarray(np.array([20.0], np.float32))
+    a = np.asarray(_interp_operator(lo, size, 128,
+                                    jnp.asarray(np.array([8], np.int32)),
+                                    7, 2))[0]
+    np.testing.assert_allclose(a.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_paste_interp_matrix_shared_semantics():
+    """The fused pallas paste reuses ops/mask_paste._interp_matrix — one
+    source of truth for the bilinear semantics."""
+    import inspect
+
+    from vosdetectron_tpu.ops.pallas import mask_paste_pallas as MPP
+
+    src = inspect.getsource(MPP)
+    assert "_interp_matrix" in src
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Pallas TPU kernels need a TPU")
+class TestOnTPU:
+    def test_roi_align_pallas_parity(self, rng):
+        from vosdetectron_tpu.ops.pallas.roi_align_pallas import \
+            roi_align_pallas
+        from vosdetectron_tpu.ops.roi_align import roi_align
+
+        feat = rng.randn(128, 224, 256).astype(np.float32)
+        rois = np.array([[10, 10, 120, 100], [0, 0, 60, 60]], np.float32)
+        got = np.asarray(roi_align_pallas(jnp.asarray(feat),
+                                          jnp.asarray(rois), 0.25, 7, 2))
+        want = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                                    0.25, 7, 2))
+        assert np.abs(got - want).max() < 0.05  # MXU bf16-class precision
+
+    def test_nms_pallas_parity(self, rng):
+        from vosdetectron_tpu.ops.nms import nms
+        from vosdetectron_tpu.ops.pallas.nms_pallas import nms_pallas
+
+        n = 500
+        x1 = rng.uniform(0, 800, n)
+        y1 = rng.uniform(0, 400, n)
+        w = rng.uniform(5, 200, n)
+        h = rng.uniform(5, 150, n)
+        boxes = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + h], 1)
+                            .astype(np.float32))
+        scores = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+        i1, v1, _ = nms_pallas(boxes, scores, 0.5, 100)
+        i2, v2, _ = nms(boxes, scores, 0.5, 100)
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_paste_flatten_pallas_parity(self, rng):
+        from vosdetectron_tpu.ops.mask_paste import (
+            flatten_instance_masks, paste_masks_in_image)
+        from vosdetectron_tpu.ops.pallas.mask_paste_pallas import \
+            paste_flatten_pallas
+
+        n = 8
+        masks = jnp.asarray(rng.uniform(0, 1, (n, 28, 28))
+                            .astype(np.float32))
+        x1 = rng.uniform(0, 300, n)
+        y1 = rng.uniform(0, 200, n)
+        boxes = jnp.asarray(np.stack(
+            [x1, y1, x1 + 80, y1 + 60], 1).astype(np.float32))
+        scores = jnp.asarray(rng.uniform(0.1, 1, n).astype(np.float32))
+        ids = jnp.asarray(np.arange(1, n + 1, dtype=np.int32))
+        valid = jnp.asarray(np.ones(n, bool))
+        got = np.asarray(paste_flatten_pallas(masks, boxes, scores, ids,
+                                              valid, 256, 448))
+        want = np.asarray(flatten_instance_masks(
+            paste_masks_in_image(masks, boxes, 256, 448), scores, valid,
+            ids))
+        assert (got == want).mean() > 0.999

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Convert torch checkpoints into framework Orbax checkpoints
+(reference analogue: tools/download_imagenet_weights.py +
+lib/utils/detectron_weight_helper.py — this environment has no network, so
+conversion takes a local .pth/.pt file).
+
+Examples:
+    # torchvision ImageNet ResNet-50 backbone init
+    python tools/convert_weights.py resnet50.pth --dialect torchvision \
+        --out ./pretrained_ckpt
+
+    # Detectron.pytorch full-detector checkpoint
+    python tools/convert_weights.py model_final.pth \
+        --dialect detectron_pytorch --out ./converted_ckpt
+"""
+
+from common import base_parser, load_cfg
+
+
+def main():
+    p = base_parser("Convert torch weights to an Orbax checkpoint")
+    p.add_argument("torch_ckpt", help=".pth/.pt file")
+    p.add_argument("--dialect", default="torchvision",
+                   choices=["torchvision", "detectron_pytorch"])
+    p.add_argument("--out", required=True, help="output checkpoint dir")
+    args = p.parse_args()
+    cfg = load_cfg(args)
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    from vosdetectron_tpu.models.generalized_rcnn import (GeneralizedRCNN,
+                                                          init_model_params)
+    from vosdetectron_tpu.zoo.torch_import import (
+        import_detectron_pytorch, import_torchvision_resnet,
+        load_torch_checkpoint, merge_params)
+
+    sd = load_torch_checkpoint(args.torch_ckpt)
+    model = GeneralizedRCNN(cfg)
+    params = init_model_params(model, jax.random.PRNGKey(0),
+                               cfg.test.padded_image_size)
+    if args.dialect == "torchvision":
+        depth = 101 if "101" in cfg.model.conv_body else 50
+        imported = {"body": import_torchvision_resnet(sd, depth)}
+        print("NOTE: torchvision ResNets use stride-on-3x3 "
+              "(set resnets accordingly / stride_1x1=False)")
+    else:
+        imported = import_detectron_pytorch(sd, cfg)
+    merged = merge_params(params, imported)
+
+    ckptr = ocp.StandardCheckpointer()
+    import os
+
+    path = os.path.abspath(os.path.join(args.out, "step_00000000"))
+    ckptr.save(path, {"step": 0, "params": merged})
+    ckptr.wait_until_finished()
+    n = sum(1 for _ in jax.tree_util.tree_leaves(imported))
+    print(f"converted {n} tensors -> {path}")
+
+
+if __name__ == "__main__":
+    main()
