@@ -224,6 +224,17 @@ class VOSCfg:
     # map is upsampled nearest on host) at a small boundary-accuracy cost.
     render_scale_den: int = 1  # render at padded_size / den
     use_pallas_render: bool = False  # fused paste kernel for id maps
+    # Host->device frame transfer encoding. "yuv420" halves upload bytes
+    # (Y full-res + 2x2-subsampled UV, reconstructed on device) — lossless
+    # in practice for JPEG sources, which are already chroma-subsampled.
+    # "u8" uploads raw BGR (fallback for odd-sized frames).
+    upload_format: str = "yuv420"
+    upload_streams: int = 4  # concurrent device_put streams
+    # Mask propagation: "identity" (masks persist, baseline) or "learned"
+    # (flow-warp + refine head; reference: fork-added propagation module,
+    # SURVEY.md §2.2 "Mask propagation / association").
+    propagation: str = "identity"
+    prop_feat_dim: int = 16  # projected feature channels for the prop head
 
 
 @dataclass(frozen=True)
@@ -285,6 +296,12 @@ class Config:
             raise ValueError(f"unknown conv_body {self.model.conv_body!r}")
         if self.fpn.enabled and "fpn" not in self.model.conv_body:
             raise ValueError("fpn.enabled=True requires an FPN conv body")
+        if self.vos.upload_format not in ("yuv420", "u8"):
+            raise ValueError(
+                f"unknown vos.upload_format {self.vos.upload_format!r}")
+        if self.vos.propagation not in ("identity", "learned"):
+            raise ValueError(
+                f"unknown vos.propagation {self.vos.propagation!r}")
         return self
 
 

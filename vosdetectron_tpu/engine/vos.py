@@ -35,11 +35,45 @@ from ..ops.mask_paste import paste_masks_in_image
 from .inference import postprocess_boxes, select_class_masks
 
 
+class PreparedSequence(NamedTuple):
+    """Host-side handle to a sequence whose chunks are uploading and whose
+    track state is initializing, all off the critical path."""
+    state: TrackState
+    chunk_futs: list          # futures resolving to device chunk buffers
+    t: int
+    h0: int
+    w0: int
+    scale: float
+    first_frame_gt: Optional[np.ndarray]
+
+
+def _to_yuv420(chunk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(C, H, W, 3) uint8 BGR -> (Y (C, H, W), UV (C, H/2, W/2, 2)) uint8.
+
+    Halves host->device bytes: JPEG sources are already 4:2:0 chroma-
+    subsampled, so this re-subsampling is effectively lossless.
+    """
+    import cv2
+
+    c, h, w, _ = chunk.shape
+    ys = np.empty((c, h, w), np.uint8)
+    uvs = np.empty((c, h // 2, w // 2, 2), np.uint8)
+    qh = h // 4
+    for i in range(c):
+        i420 = cv2.cvtColor(chunk[i], cv2.COLOR_BGR2YUV_I420)
+        ys[i] = i420[:h]
+        uvs[i, ..., 0] = i420[h: h + qh].reshape(h // 2, w // 2)
+        uvs[i, ..., 1] = i420[h + qh:].reshape(h // 2, w // 2)
+    return ys, uvs
+
+
 class VOSEngine:
     """Runs semi-supervised VOS over DAVIS sequences."""
 
     def __init__(self, cfg: Config, params=None, rng: int = 0,
                  chunk: int = 16):
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..models.generalized_rcnn import init_model_params
         from ..utils.jax_setup import setup
 
@@ -52,8 +86,33 @@ class VOSEngine:
                                        cfg.test.padded_image_size)
         self.params = params
         self.emb_dim = cfg.fpn.dim if cfg.fpn.enabled else 1024
+        # Persistent transfer pools: device_put over the host<->device link
+        # is effectively synchronous, so concurrent streams are the only way
+        # to keep the link saturated while the device scans.
+        self._up_pool = ThreadPoolExecutor(
+            max_workers=max(cfg.vos.upload_streams, 1))
+        self._down_pool = ThreadPoolExecutor(max_workers=3)
 
     # ------------------------------------------------------------ device side
+
+    def _frames_to_bgr(self, frames) -> jnp.ndarray:
+        """Chunk buffer -> (C, H, W, 3) float32 BGR.
+
+        Accepts raw uint8 BGR (C, H, W, 3) or a (Y, UV) yuv420 pair; the
+        4:2:0 reconstruction (nearest chroma upsample + full-range BT.601)
+        is elementwise, so XLA fuses it into the preprocess."""
+        if not isinstance(frames, (tuple, list)):
+            return frames.astype(jnp.float32)
+        y, uv = frames
+        yf = y.astype(jnp.float32)
+        u = uv[..., 0].astype(jnp.float32) - 128.0
+        v = uv[..., 1].astype(jnp.float32) - 128.0
+        u = jnp.repeat(jnp.repeat(u, 2, axis=-2), 2, axis=-1)
+        v = jnp.repeat(jnp.repeat(v, 2, axis=-2), 2, axis=-1)
+        b = yf + 1.772 * u
+        g = yf - 0.344136 * u - 0.714136 * v
+        r = yf + 1.402 * v
+        return jnp.clip(jnp.stack([b, g, r], axis=-1), 0.0, 255.0)
 
     def _preprocess(self, frame_u8: jnp.ndarray, scale: float
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -93,8 +152,9 @@ class VOSEngine:
         scores, valid).
         """
         cfg = self.cfg
+        frames_f32 = self._frames_to_bgr(frames_u8)
         imgs, hws = jax.vmap(
-            lambda f: self._preprocess(f, scale))(frames_u8)
+            lambda f: self._preprocess(f, scale))(frames_f32)
         out = self.model.apply({"params": params}, imgs, hws)
         dets = postprocess_boxes(out, hws, cfg,
                                  candidate_topk=min(
@@ -213,20 +273,15 @@ class VOSEngine:
         return min(cfg.test.scale / min(h0, w0),
                    cfg.test.max_size / max(h0, w0))
 
-    def run_sequence(self, frames: np.ndarray,
-                     first_frame_gt: Optional[np.ndarray] = None
-                     ) -> List[np.ndarray]:
-        """frames: (T, H0, W0, 3) uint8 BGR. Returns T id maps (H0, W0).
-
-        Semi-supervised when first_frame_gt (H0, W0 id map) is given;
-        unsupervised track spawning otherwise (cfg.vos.semi_supervised).
-        """
-        import cv2
-
+    def prepare_sequence(self, frames: np.ndarray,
+                         first_frame_gt: Optional[np.ndarray] = None
+                         ) -> PreparedSequence:
+        """Kick off everything that precedes the scan: track-state init and
+        all chunk uploads (multi-stream). Returns immediately-consumable
+        futures so a caller can prepare sequence i+1 while scanning i."""
         cfg = self.cfg
         t, h0, w0, _ = frames.shape
         scale = self._output_scale(h0, w0)
-        nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
 
         device = jax.devices()[0]
         if first_frame_gt is not None:
@@ -246,44 +301,62 @@ class VOSEngine:
         padded = np.concatenate(
             [frames, np.repeat(frames[-1:], pad_t, 0)]) if pad_t else frames
         chunks = padded.reshape(-1, c, h0, w0, 3)
-
-        # Double-buffer with real overlap: device_put on this backend is
-        # effectively synchronous (network tunnel), so uploads of chunk i+1
-        # and downloads of chunk i's id maps run on transfer threads while
-        # the device scans chunk i.
-        from concurrent.futures import ThreadPoolExecutor
-
-        up_pool = ThreadPoolExecutor(max_workers=1)
-        down_pool = ThreadPoolExecutor(max_workers=3)
+        use_yuv = (cfg.vos.upload_format == "yuv420"
+                   and h0 % 2 == 0 and w0 % 2 == 0)
 
         def upload(i):
-            # device_put on the raw numpy chunk: the jnp.asarray route
-            # transfers through a ~20x slower path on this backend.
+            # device_put on raw numpy: the jnp.asarray route transfers
+            # through a ~20x slower path on this backend.
+            if use_yuv:
+                y, uv = _to_yuv420(chunks[i])
+                return (jax.device_put(y, device),
+                        jax.device_put(uv, device))
             return jax.device_put(np.ascontiguousarray(chunks[i]), device)
 
-        downloads = []
-        up_fut = up_pool.submit(upload, 0)
-        for i in range(chunks.shape[0]):
-            buf = up_fut.result()
-            if i + 1 < chunks.shape[0]:
-                up_fut = up_pool.submit(upload, i + 1)
-            den = max(cfg.vos.render_scale_den, 1)
-            ph, pw = cfg.test.padded_image_size
-            state, ids = self._scan_chunk(self.params, state, scale,
-                                          (ph // den, pw // den), buf)
-            downloads.append(down_pool.submit(np.asarray, ids))
-        idmaps = np.concatenate([f.result() for f in downloads])[:t]
-        up_pool.shutdown()
-        down_pool.shutdown()
+        chunk_futs = [self._up_pool.submit(upload, i)
+                      for i in range(chunks.shape[0])]
+        return PreparedSequence(state, chunk_futs, t, h0, w0, scale,
+                                first_frame_gt)
+
+    def run_sequence(self, frames: Optional[np.ndarray],
+                     first_frame_gt: Optional[np.ndarray] = None,
+                     prepared: Optional[PreparedSequence] = None
+                     ) -> List[np.ndarray]:
+        """frames: (T, H0, W0, 3) uint8 BGR. Returns T id maps (H0, W0).
+
+        Semi-supervised when first_frame_gt (H0, W0 id map) is given;
+        unsupervised track spawning otherwise (cfg.vos.semi_supervised).
+        Pass `prepared` (from prepare_sequence) to consume pre-uploaded
+        chunks — the cross-sequence pipelining used by run_davis_dataset.
+        """
+        import cv2
+
+        cfg = self.cfg
+        p = prepared if prepared is not None else self.prepare_sequence(
+            frames, first_frame_gt)
+        t, h0, w0, scale = p.t, p.h0, p.w0, p.scale
+        nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
 
         den = max(cfg.vos.render_scale_den, 1)
+        ph, pw = cfg.test.padded_image_size
+        out_hw = (ph // den, pw // den)
+
+        state = p.state
+        downloads = []
+        for fut in p.chunk_futs:
+            buf = fut.result()
+            state, ids = self._scan_chunk(self.params, state, scale,
+                                          out_hw, buf)
+            downloads.append(self._down_pool.submit(np.asarray, ids))
+        idmaps = np.concatenate([f.result() for f in downloads])[:t]
+
         out = []
         for fr in range(t):
             m = idmaps[fr][:nh // den, :nw // den].astype(np.uint8)
             out.append(cv2.resize(m, (w0, h0),
                                   interpolation=cv2.INTER_NEAREST))
-        if first_frame_gt is not None:
-            out[0] = first_frame_gt.astype(np.uint8)  # DAVIS protocol
+        if p.first_frame_gt is not None:
+            out[0] = p.first_frame_gt.astype(np.uint8)  # DAVIS protocol
         return out
 
 
@@ -358,8 +431,10 @@ def run_davis_dataset(engine: VOSEngine, davis_root: str,
 
     (reference: the VOS infer tool + DAVIS evaluator, SURVEY.md §3.3)
 
-    Host pipeline: sequence i+1 is decoded on a background thread while the
-    TPU scans sequence i; PNG export also runs off the critical path.
+    Host pipeline: sequence i+1 is decoded, converted, UPLOADED, and its
+    track state initialized on background threads while the TPU scans
+    sequence i (the uploads are the critical resource on a tunnel-attached
+    host); PNG export also runs off the critical path.
     """
     import os
     from concurrent.futures import ThreadPoolExecutor
@@ -374,28 +449,32 @@ def run_davis_dataset(engine: VOSEngine, davis_root: str,
         names = names[:max_sequences]
 
     seqs = [cat.sequence(n) for n in names]
-    decode_pool = ThreadPoolExecutor(max_workers=1)
+    prefetch_pool = ThreadPoolExecutor(max_workers=1)
     write_pool = ThreadPoolExecutor(max_workers=2)
+
+    def prefetch(i):
+        frames = read_sequence_frames(seqs[i])
+        gt0 = read_indexed_png(seqs[i].anno_paths[0])
+        return engine.prepare_sequence(frames, gt0)
+
     futures = {}
     if seqs:
-        futures[0] = decode_pool.submit(read_sequence_frames, seqs[0])
+        futures[0] = prefetch_pool.submit(prefetch, 0)
 
     all_preds = {}
     pending_writes = []
     for i, (name, seq) in enumerate(zip(names, seqs)):
-        frames = futures.pop(i).result()
+        prepared = futures.pop(i).result()
         if i + 1 < len(seqs):
-            futures[i + 1] = decode_pool.submit(read_sequence_frames,
-                                                seqs[i + 1])
-        gt0 = read_indexed_png(seq.anno_paths[0])
-        preds = engine.run_sequence(frames, gt0)
+            futures[i + 1] = prefetch_pool.submit(prefetch, i + 1)
+        preds = engine.run_sequence(None, prepared=prepared)
         all_preds[name] = preds
         if out_dir:
             pending_writes.append(write_pool.submit(
                 write_sequence_pngs, os.path.join(out_dir, name), preds))
     for f in pending_writes:
         f.result()
-    decode_pool.shutdown()
+    prefetch_pool.shutdown()
     write_pool.shutdown()
 
     if not evaluate:
