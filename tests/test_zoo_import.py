@@ -200,3 +200,212 @@ def test_detectron_pytorch_import_smoke(rng):
     hw = jnp.asarray([[128.0, 192.0]])
     out = model.apply({"params": merged}, img, hw)
     assert np.isfinite(np.asarray(out.cls_scores)).all()
+
+
+# ---------------------------------------------------------------------------
+# Caffe2 Detectron .pkl dialect (reference: detectron_weight_helper.py)
+# ---------------------------------------------------------------------------
+
+
+def make_detectron_pkl_blobs(rng, cfg, num_classes):
+    """Synthetic Caffe2 Detectron blob dict with the public blob naming,
+    shapes derived from Detectron conventions (independent of the importer)."""
+    bl = {}
+
+    def conv(name, o, i, k, bias=False):
+        bl[f"{name}_w"] = rng.randn(o, i, k, k).astype(np.float32) * .05
+        if bias:
+            bl[f"{name}_b"] = np.zeros(o, np.float32)
+
+    def bn(name, c):
+        bl[f"{name}_bn_s"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        bl[f"{name}_bn_b"] = rng.randn(c).astype(np.float32) * .1
+
+    def fc(name, o, i):
+        bl[f"{name}_w"] = rng.randn(o, i).astype(np.float32) * .01
+        bl[f"{name}_b"] = np.zeros(o, np.float32)
+
+    def stage(s, n, cin, width):
+        out = width * 4
+        for b in range(n):
+            conv(f"res{s}_{b}_branch2a", width, cin if b == 0 else out, 1)
+            bn(f"res{s}_{b}_branch2a", width)
+            conv(f"res{s}_{b}_branch2b", width, width, 3)
+            bn(f"res{s}_{b}_branch2b", width)
+            conv(f"res{s}_{b}_branch2c", out, width, 1)
+            bn(f"res{s}_{b}_branch2c", out)
+            if b == 0:
+                conv(f"res{s}_{b}_branch1", out, cin, 1)
+                bn(f"res{s}_{b}_branch1", out)
+        return out
+
+    conv("conv1", 64, 3, 7)
+    bn("res_conv1", 64)
+    blocks = (3, 4, 6, 3)
+    is_fpn = cfg.fpn.enabled
+    cin = 64
+    for si in range(4 if is_fpn else 3):
+        cin = stage(si + 2, blocks[si], cin, 64 * 2 ** si)
+
+    k = num_classes
+    if is_fpn:
+        last = {2: 2, 3: 3, 4: 5, 5: 2}
+        conv(f"fpn_inner_res5_{last[5]}_sum", 256, 2048, 1, bias=True)
+        for s, c in ((4, 1024), (3, 512), (2, 256)):
+            conv(f"fpn_inner_res{s}_{last[s]}_sum_lateral", 256, c, 1,
+                 bias=True)
+        for s in (2, 3, 4, 5):
+            conv(f"fpn_res{s}_{last[s]}_sum", 256, 256, 3, bias=True)
+        conv("conv_rpn_fpn2", 256, 256, 3, bias=True)
+        conv("rpn_cls_logits_fpn2", 3, 256, 1, bias=True)
+        conv("rpn_bbox_pred_fpn2", 12, 256, 1, bias=True)
+        fc("fc6", 1024, 256 * 7 * 7)
+        fc("fc7", 1024, 1024)
+        # mask head reads 256-ch FPN roi features
+        for i in range(4):
+            conv(f"_[mask]_fcn{i + 1}", 256, 256, 3, bias=True)
+        bl["conv5_mask_w"] = rng.randn(256, 256, 2, 2).astype(np.float32) * .05
+        bl["conv5_mask_b"] = np.zeros(256, np.float32)
+        conv("mask_fcn_logits", k, 256, 1, bias=True)
+    else:
+        # C4: single-scale RPN on res4 (1024 ch), res5 box head
+        a = len(cfg.rpn.aspect_ratios) * len(cfg.rpn.sizes)
+        conv("conv_rpn", 1024, 1024, 3, bias=True)
+        conv("rpn_cls_logits", a, 1024, 1, bias=True)
+        conv("rpn_bbox_pred", 4 * a, 1024, 1, bias=True)
+        stage(5, blocks[3], 1024, 512)
+    fc("cls_score", k, 1024 if is_fpn else 2048)
+    fc("bbox_pred", 4 * k, 1024 if is_fpn else 2048)
+    return bl
+
+
+def test_detectron_pkl_fpn_roundtrip(rng):
+    import jax
+
+    from vosdetectron_tpu.models.generalized_rcnn import (GeneralizedRCNN,
+                                                          init_model_params)
+
+    cfg = apply_overrides(Config(), [
+        ("model.num_classes", 4),
+        ("rpn.pre_nms_top_n_test", 32),
+        ("rpn.post_nms_top_n_test", 16),
+        ("test.padded_image_size", (128, 192)),
+    ]).validate()
+    model = GeneralizedRCNN(cfg)
+    init = init_model_params(model, jax.random.PRNGKey(0), (128, 192))
+
+    bl = make_detectron_pkl_blobs(rng, cfg, 4)
+    imported = Z.import_detectron_pkl(bl, cfg)
+    merged = Z.merge_params(init, imported)
+    # transposes round-trip: OIHW blob -> HWIO kernel
+    np.testing.assert_array_equal(
+        np.asarray(merged["body"]["stem"]["conv1"]["kernel"]),
+        np.transpose(bl["conv1_w"], (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        np.asarray(merged["mask_head"]["upconv"]["kernel"]),
+        np.transpose(bl["conv5_mask_w"], (2, 3, 0, 1)))
+    img = jnp.asarray(rng.randn(1, 128, 192, 3).astype(np.float32))
+    hw = jnp.asarray([[128.0, 192.0]])
+    out = model.apply({"params": merged}, img, hw)
+    assert np.isfinite(np.asarray(out.cls_scores)).all()
+
+
+def test_detectron_pkl_c4_roundtrip(rng):
+    """Workload 1 (R-50-C4) is weight-checkable: .pkl blobs incl. the res5
+    box head and single-scale RPN import and run."""
+    import jax
+
+    from vosdetectron_tpu.models.generalized_rcnn import (GeneralizedRCNN,
+                                                          init_model_params)
+
+    cfg = apply_overrides(Config(), [
+        ("model.conv_body", "resnet50_c4"),
+        ("fpn.enabled", False),
+        ("model.mask_on", False),
+        ("model.num_classes", 4),
+        ("rpn.pre_nms_top_n_test", 32),
+        ("rpn.post_nms_top_n_test", 16),
+        ("test.padded_image_size", (128, 192)),
+    ]).validate()
+    model = GeneralizedRCNN(cfg)
+    init = init_model_params(model, jax.random.PRNGKey(0), (128, 192))
+
+    bl = make_detectron_pkl_blobs(rng, cfg, 4)
+    imported = Z.import_detectron_pkl(bl, cfg)
+    merged = Z.merge_params(init, imported)
+    assert "res5" in merged["box_head"]
+    np.testing.assert_array_equal(
+        np.asarray(merged["box_head"]["res5"]["block0"]["conv2"]["kernel"]),
+        np.transpose(bl["res5_0_branch2b_w"], (2, 3, 1, 0)))
+    img = jnp.asarray(rng.randn(1, 128, 192, 3).astype(np.float32))
+    hw = jnp.asarray([[128.0, 192.0]])
+    out = model.apply({"params": merged}, img, hw)
+    assert np.isfinite(np.asarray(out.cls_scores)).all()
+
+
+def test_detectron_pytorch_c4_import(rng):
+    """C4 dialect of the Detectron.pytorch naming (RPN.RPN_conv,
+    Box_Head.res5) imports into the Res5RoIHead assembly."""
+    import jax
+
+    from vosdetectron_tpu.models.generalized_rcnn import (GeneralizedRCNN,
+                                                          init_model_params)
+
+    cfg = apply_overrides(Config(), [
+        ("model.conv_body", "resnet50_c4"),
+        ("fpn.enabled", False),
+        ("model.mask_on", False),
+        ("model.num_classes", 4),
+        ("rpn.pre_nms_top_n_test", 32),
+        ("rpn.post_nms_top_n_test", 16),
+        ("test.padded_image_size", (128, 192)),
+    ]).validate()
+    model = GeneralizedRCNN(cfg)
+    init = init_model_params(model, jax.random.PRNGKey(0), (128, 192))
+
+    tv = make_tv_resnet50_sd(rng)
+    sd = {}
+    sd["Conv_Body.res1.conv1.weight"] = tv["conv1.weight"]
+    for stat in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"Conv_Body.res1.bn1.{stat}"] = tv[f"bn1.{stat}"]
+    for k, v in tv.items():
+        if k.startswith("layer4"):
+            sd[f"Box_Head.res5.{k.split('.', 1)[1]}"] = v
+        elif k.startswith("layer"):
+            li = int(k[5]) + 1
+            sd[f"Conv_Body.res{li}.{k.split('.', 1)[1]}"] = v
+
+    a = len(cfg.rpn.aspect_ratios) * len(cfg.rpn.sizes)
+
+    def add_conv(name, o, i, kk):
+        sd[f"{name}.weight"] = rng.randn(o, i, kk, kk).astype(np.float32) * .05
+        sd[f"{name}.bias"] = np.zeros(o, np.float32)
+
+    add_conv("RPN.RPN_conv", 1024, 1024, 3)
+    add_conv("RPN.RPN_cls_score", a, 1024, 1)
+    add_conv("RPN.RPN_bbox_pred", 4 * a, 1024, 1)
+    sd["Box_Outs.cls_score.weight"] = rng.randn(4, 2048).astype(np.float32) * .01
+    sd["Box_Outs.cls_score.bias"] = np.zeros(4, np.float32)
+    sd["Box_Outs.bbox_pred.weight"] = rng.randn(16, 2048).astype(np.float32) * .01
+    sd["Box_Outs.bbox_pred.bias"] = np.zeros(16, np.float32)
+
+    imported = Z.import_detectron_pytorch(sd, cfg)
+    merged = Z.merge_params(init, imported)
+    img = jnp.asarray(rng.randn(1, 128, 192, 3).astype(np.float32))
+    hw = jnp.asarray([[128.0, 192.0]])
+    out = model.apply({"params": merged}, img, hw)
+    assert np.isfinite(np.asarray(out.cls_scores)).all()
+
+
+def test_load_detectron_pkl(tmp_path, rng):
+    """Py2-era pickle loading: 'blobs' nesting + momentum filtering."""
+    import pickle
+
+    bl = {"conv1_w": rng.randn(8, 3, 7, 7).astype(np.float32),
+          "conv1_w_momentum": np.zeros((8, 3, 7, 7), np.float32)}
+    p = tmp_path / "model_final.pkl"
+    with open(p, "wb") as f:
+        pickle.dump({"blobs": bl}, f, protocol=2)
+    loaded = Z.load_detectron_pkl(str(p))
+    assert set(loaded) == {"conv1_w"}
+    np.testing.assert_array_equal(loaded["conv1_w"], bl["conv1_w"])

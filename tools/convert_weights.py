@@ -19,9 +19,10 @@ from common import base_parser, load_cfg
 
 def main():
     p = base_parser("Convert torch weights to an Orbax checkpoint")
-    p.add_argument("torch_ckpt", help=".pth/.pt file")
+    p.add_argument("torch_ckpt", help=".pth/.pt/.pkl file")
     p.add_argument("--dialect", default="torchvision",
-                   choices=["torchvision", "detectron_pytorch"])
+                   choices=["torchvision", "detectron_pytorch",
+                            "detectron_pkl"])
     p.add_argument("--out", required=True, help="output checkpoint dir")
     args = p.parse_args()
     cfg = load_cfg(args)
@@ -32,20 +33,25 @@ def main():
     from vosdetectron_tpu.models.generalized_rcnn import (GeneralizedRCNN,
                                                           init_model_params)
     from vosdetectron_tpu.zoo.torch_import import (
-        import_detectron_pytorch, import_torchvision_resnet,
+        import_detectron_pkl, import_detectron_pytorch,
+        import_torchvision_resnet, load_detectron_pkl,
         load_torch_checkpoint, merge_params)
 
-    sd = load_torch_checkpoint(args.torch_ckpt)
     model = GeneralizedRCNN(cfg)
     params = init_model_params(model, jax.random.PRNGKey(0),
                                cfg.test.padded_image_size)
     if args.dialect == "torchvision":
+        sd = load_torch_checkpoint(args.torch_ckpt)
         depth = 101 if "101" in cfg.model.conv_body else 50
         imported = {"body": import_torchvision_resnet(sd, depth)}
         print("NOTE: torchvision ResNets use stride-on-3x3 "
               "(set resnets accordingly / stride_1x1=False)")
+    elif args.dialect == "detectron_pkl":
+        imported = import_detectron_pkl(
+            load_detectron_pkl(args.torch_ckpt), cfg)
     else:
-        imported = import_detectron_pytorch(sd, cfg)
+        imported = import_detectron_pytorch(
+            load_torch_checkpoint(args.torch_ckpt), cfg)
     merged = merge_params(params, imported)
 
     ckptr = ocp.StandardCheckpointer()

@@ -15,6 +15,9 @@ def main():
     p.add_argument("--out", default=None, help="indexed-PNG export dir")
     p.add_argument("--max-seqs", type=int, default=None)
     p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--prop-ckpt", default=None,
+                   help="PropagationHead checkpoint (vos.propagation="
+                        "learned; see tools/train_propagation.py)")
     args = p.parse_args()
     cfg = load_cfg(args)
 
@@ -25,7 +28,13 @@ def main():
         from vosdetectron_tpu.utils.checkpoint import load_params
 
         params = load_params(args.ckpt)
-    eng = VOSEngine(cfg, params=params, chunk=args.chunk)
+    prop_params = None
+    if args.prop_ckpt:
+        from vosdetectron_tpu.utils.checkpoint import load_params
+
+        prop_params = load_params(args.prop_ckpt)
+    eng = VOSEngine(cfg, params=params, chunk=args.chunk,
+                    prop_params=prop_params)
     per_seq, agg = run_davis_eval(eng, cfg.data.davis_root, args.split,
                                   out_dir=args.out,
                                   max_sequences=args.max_seqs)

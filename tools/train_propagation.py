@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Train the learned mask-propagation head (flow-warp + refine) against a
+frozen detector (reference: fork-added propagation module training,
+SURVEY.md §2.2 "Mask propagation / association").
+
+Trains on synthetic moving sequences with exact motion GT (or real DAVIS
+pairs when data.davis_root points at a real checkout), reports held-out
+single-step J vs the identity-propagation baseline, and saves an Orbax
+checkpoint loadable by `tools/infer_vos.py --prop-ckpt`.
+
+Example:
+    python tools/train_propagation.py --steps 2500 --out ./prop_ckpt \
+        --set vos.propagation=learned
+"""
+
+from common import base_parser, load_cfg
+
+
+def main():
+    p = base_parser("Train the learned propagation head")
+    p.add_argument("--steps", type=int, default=2500)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--train-seqs", type=int, default=24)
+    p.add_argument("--frames", type=int, default=10)
+    p.add_argument("--out", required=True, help="output checkpoint dir")
+    args = p.parse_args()
+    cfg = load_cfg(args)
+
+    import os
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    from vosdetectron_tpu.engine.train_propagation import train_on_synthetic
+
+    det_params = None
+    if args.ckpt:
+        from vosdetectron_tpu.utils.checkpoint import load_params
+
+        det_params = load_params(args.ckpt)
+
+    head_params, report = train_on_synthetic(
+        cfg, num_train_seqs=args.train_seqs, num_frames=args.frames,
+        steps=args.steps, lr=args.lr, det_params=det_params)
+
+    print(f"held-out single-step J: identity={report['J_identity']:.4f} "
+          f"learned(init)={report['J_learned_init']:.4f} "
+          f"learned(final)={report['J_learned_final']:.4f}")
+
+    ckptr = ocp.StandardCheckpointer()
+    path = os.path.abspath(os.path.join(args.out, "step_00000000"))
+    ckptr.save(path, {"step": 0, "params": head_params})
+    ckptr.wait_until_finished()
+    print(f"saved propagation head -> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -27,8 +27,9 @@ import numpy as np
 
 from ..config import Config
 from ..models.generalized_rcnn import GeneralizedRCNN
-from ..models.propagation import (TrackState, associate_and_update,
-                                  empty_track_state, masked_embedding,
+from ..models.propagation import (PropagationHead, TrackState,
+                                  associate_and_update, empty_track_state,
+                                  init_propagation_params, masked_embedding,
                                   propagate_identity, render_indexed,
                                   render_indexed_pallas)
 from ..ops.mask_paste import paste_masks_in_image
@@ -45,6 +46,22 @@ class PreparedSequence(NamedTuple):
     w0: int
     scale: float
     first_frame_gt: Optional[np.ndarray]
+
+
+def preprocess_frame(cfg: Config, frame_u8: jnp.ndarray, scale: float
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """uint8/float (H0, W0, 3) BGR -> padded float (PH, PW, 3); returns
+    (image, effective hw). All shapes static under jit."""
+    h0, w0 = frame_u8.shape[:2]
+    nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+    im = frame_u8.astype(jnp.float32)
+    if (nh, nw) != (h0, w0):
+        im = jax.image.resize(im, (nh, nw, 3), "linear")
+    im = (im - jnp.asarray(cfg.data.pixel_means, jnp.float32)) \
+        / jnp.asarray(cfg.data.pixel_stds, jnp.float32)
+    ph, pw = cfg.test.padded_image_size
+    im = jnp.pad(im, ((0, ph - nh), (0, pw - nw), (0, 0)))
+    return im, jnp.asarray([nh, nw], jnp.float32)
 
 
 def _to_yuv420(chunk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -71,7 +88,7 @@ class VOSEngine:
     """Runs semi-supervised VOS over DAVIS sequences."""
 
     def __init__(self, cfg: Config, params=None, rng: int = 0,
-                 chunk: int = 16):
+                 chunk: int = 16, prop_params=None):
         from concurrent.futures import ThreadPoolExecutor
 
         from ..models.generalized_rcnn import init_model_params
@@ -86,6 +103,15 @@ class VOSEngine:
                                        cfg.test.padded_image_size)
         self.params = params
         self.emb_dim = cfg.fpn.dim if cfg.fpn.enabled else 1024
+        self.learned_prop = cfg.vos.propagation == "learned"
+        self.prop_head = None
+        self.prop_params = prop_params
+        if self.learned_prop:
+            self.prop_head = PropagationHead(feat_dim=cfg.vos.prop_feat_dim)
+            if self.prop_params is None:
+                self.prop_params = init_propagation_params(
+                    cfg, self.prop_head, jax.random.PRNGKey(rng),
+                    self.emb_dim)
         # Persistent transfer pools: device_put over the host<->device link
         # is effectively synchronous, so concurrent streams are the only way
         # to keep the link saturated while the device scans.
@@ -116,19 +142,7 @@ class VOSEngine:
 
     def _preprocess(self, frame_u8: jnp.ndarray, scale: float
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """uint8 (H0, W0, 3) BGR -> padded float (PH, PW, 3); returns
-        (image, effective hw). All shapes static under jit."""
-        cfg = self.cfg
-        h0, w0 = frame_u8.shape[:2]
-        nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
-        im = frame_u8.astype(jnp.float32)
-        if (nh, nw) != (h0, w0):
-            im = jax.image.resize(im, (nh, nw, 3), "linear")
-        im = (im - jnp.asarray(cfg.data.pixel_means, jnp.float32)) \
-            / jnp.asarray(cfg.data.pixel_stds, jnp.float32)
-        ph, pw = cfg.test.padded_image_size
-        im = jnp.pad(im, ((0, ph - nh), (0, pw - nw), (0, 0)))
-        return im, jnp.asarray([nh, nw], jnp.float32)
+        return preprocess_frame(self.cfg, frame_u8, scale)
 
     def _det_lowres(self, dets_boxes, masks):
         """Paste det masks into the track-resolution grid spanning the
@@ -140,7 +154,8 @@ class VOSEngine:
         scaled = dets_boxes * jnp.asarray([sx, sy, sx, sy], jnp.float32)
         return paste_masks_in_image(masks, scaled, mh, mw, threshold=-1.0)
 
-    def _detect_chunk(self, params, frames_u8: jnp.ndarray, scale: float):
+    def _detect_chunk(self, params, frames_u8: jnp.ndarray, scale: float,
+                      prop_params=None):
         """Batched detection phase over a chunk of frames.
 
         The Mask R-CNN forward carries no frame-to-frame state, so a whole
@@ -170,42 +185,64 @@ class VOSEngine:
         feat = out.feats[1] if cfg.fpn.enabled else out.feats[0]
         mh, mw = cfg.vos.track_mask_size
 
-        def per_frame_emb(f, m):
+        def per_frame_lr(f):
             f_lr = jax.image.resize(f.astype(jnp.bfloat16),
                                     (mh, mw, f.shape[-1]), "linear")
-            return masked_embedding(f_lr.astype(jnp.float32), m)
+            return f_lr.astype(jnp.float32)
 
-        det_emb = jax.vmap(per_frame_emb)(feat, det_masks_lr)
-        return det_masks_lr, det_emb, dets.scores, dets.valid
+        feat_lr = jax.vmap(per_frame_lr)(feat)           # (C, mh, mw, Cf)
+        det_emb = jax.vmap(masked_embedding)(feat_lr, det_masks_lr)
+
+        prop_inp = None
+        if self.learned_prop:
+            img_lr = jax.vmap(lambda im: jax.image.resize(
+                im, (mh, mw, 3), "linear"))(imgs)        # (C, mh, mw, 3)
+            prop_inp = jax.vmap(
+                lambda i, f: self.prop_head.apply(
+                    {"params": prop_params}, i, f,
+                    method=PropagationHead.frame_input))(img_lr, feat_lr)
+        return det_masks_lr, det_emb, dets.scores, dets.valid, prop_inp
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
     def _scan_chunk(self, params, state: TrackState, scale: float,
-                    out_hw, frames_u8: jnp.ndarray):
+                    out_hw, frames_u8: jnp.ndarray, prop_params=None):
         """frames_u8: (C, H0, W0, 3) -> (state, idmaps (C,)+out_hw uint8).
 
         Phase A: batched detection (no recurrence). Phase B: lax.scan of
-        association + track update + indexed rendering.
+        propagation + association + track update + indexed rendering.
         """
         cfg = self.cfg
-        det_masks_lr, det_emb, scores, valid = self._detect_chunk(
-            params, frames_u8, scale)
+        det_masks_lr, det_emb, scores, valid, prop_inp = self._detect_chunk(
+            params, frames_u8, scale, prop_params)
 
         render = (render_indexed_pallas if cfg.vos.use_pallas_render
                   else render_indexed)
 
         def step(st, per_frame):
-            dm, de, sc, va = per_frame
-            propagated = propagate_identity(st)
+            if self.learned_prop:
+                dm, de, sc, va, inp = per_frame
+                prop = self.prop_head.apply({"params": prop_params},
+                                            st.pfeat, inp, st.masks)
+                # dead/padded slots keep their (zero) masks
+                propagated = jnp.where(st.alive[:, None, None], prop,
+                                       st.masks)
+            else:
+                dm, de, sc, va = per_frame
+                propagated = propagate_identity(st)
             st = associate_and_update(cfg, st, dm, de, sc, va, propagated)
+            if self.learned_prop:
+                st = st._replace(pfeat=inp)
             idmap = render(st, out_hw, cfg.mrcnn.thresh_binarize)
             return st, idmap.astype(jnp.uint8)
 
-        return jax.lax.scan(step, state,
-                            (det_masks_lr, det_emb, scores, valid))
+        xs = (det_masks_lr, det_emb, scores, valid)
+        if self.learned_prop:
+            xs = xs + (prop_inp,)
+        return jax.lax.scan(step, state, xs)
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
     def _scan_chunk_multi(self, params, states: TrackState, scale: float,
-                          out_hw, frames_u8: jnp.ndarray):
+                          out_hw, frames_u8: jnp.ndarray, prop_params=None):
         """Sharded multi-sequence scan (workload 5 eval half).
 
         states: TrackState with leading sequence axis S; frames_u8:
@@ -216,13 +253,13 @@ class VOSEngine:
         """
         def one(st, fr):
             return self._scan_chunk.__wrapped__(self, params, st, scale,
-                                                out_hw, fr)
+                                                out_hw, fr, prop_params)
 
         return jax.vmap(one)(states, frames_u8)
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _init_state(self, params, frame_u8, gt_masks_lr, scale: float,
-                    obj_ids) -> TrackState:
+                    obj_ids, prop_params=None) -> TrackState:
         """Semi-supervised init: first-frame GT masks (already at track
         resolution) + embeddings from first-frame features."""
         cfg = self.cfg
@@ -234,12 +271,18 @@ class VOSEngine:
         feat_lr = jax.image.resize(feat[0].astype(jnp.float32),
                                    (mh, mw, feat.shape[-1]), "linear")
         emb = masked_embedding(feat_lr, gt_masks_lr)
+        pfeat = None
+        if self.learned_prop:
+            img_lr = jax.image.resize(image, (mh, mw, 3), "linear")
+            pfeat = self.prop_head.apply(
+                {"params": prop_params}, img_lr, feat_lr,
+                method=PropagationHead.frame_input)
         alive = obj_ids > 0
         return TrackState(
             masks=gt_masks_lr, emb=emb, alive=alive,
             miss=jnp.zeros_like(obj_ids),
             score=jnp.where(alive, 1.0, 0.0).astype(jnp.float32),
-            obj_id=obj_ids)
+            obj_id=obj_ids, pfeat=pfeat)
 
     # -------------------------------------------------------------- host side
 
@@ -268,6 +311,14 @@ class VOSEngine:
             obj_ids[slot] = oid
         return masks, obj_ids
 
+    def _empty_pfeat(self):
+        """Zero previous-frame propagation input for unsupervised starts."""
+        if not self.learned_prop:
+            return None
+        mh, mw = self.cfg.vos.track_mask_size
+        return jnp.zeros((mh, mw, 3 + self.cfg.vos.prop_feat_dim),
+                         jnp.float32)
+
     def _output_scale(self, h0: int, w0: int) -> float:
         cfg = self.cfg
         return min(cfg.test.scale / min(h0, w0),
@@ -288,9 +339,10 @@ class VOSEngine:
             gt_lr, obj_ids = self._gt_to_track_masks(first_frame_gt, scale)
             state = self._init_state(self.params, jnp.asarray(frames[0]),
                                      jnp.asarray(gt_lr), scale,
-                                     jnp.asarray(obj_ids))
+                                     jnp.asarray(obj_ids), self.prop_params)
         else:
-            state = empty_track_state(cfg, self.emb_dim)
+            state = empty_track_state(cfg, self.emb_dim,
+                                      pfeat=self._empty_pfeat())
         # Commit the carry to the device so its sharding matches the scan's
         # own output exactly — otherwise the 2nd chunk retraces _scan_chunk
         # under a different (committed) argument mapping.
@@ -346,7 +398,7 @@ class VOSEngine:
         for fut in p.chunk_futs:
             buf = fut.result()
             state, ids = self._scan_chunk(self.params, state, scale,
-                                          out_hw, buf)
+                                          out_hw, buf, self.prop_params)
             downloads.append(self._down_pool.submit(np.asarray, ids))
         idmaps = np.concatenate([f.result() for f in downloads])[:t]
 
@@ -387,7 +439,7 @@ def run_sequences_sharded(engine: VOSEngine, frames: np.ndarray,
         gt_lr, obj_ids = engine._gt_to_track_masks(first_gts[i], scale)
         states.append(engine._init_state(
             engine.params, jnp.asarray(frames[i, 0]), jnp.asarray(gt_lr),
-            scale, jnp.asarray(obj_ids)))
+            scale, jnp.asarray(obj_ids), engine.prop_params))
     states = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
     c = engine.chunk
@@ -407,7 +459,8 @@ def run_sequences_sharded(engine: VOSEngine, frames: np.ndarray,
         for ci in range(chunks.shape[1]):
             buf = shard_batch(mesh, jnp.asarray(chunks[:, ci]))
             states, ids = engine._scan_chunk_multi(
-                engine.params, states, scale, out_hw, buf)
+                engine.params, states, scale, out_hw, buf,
+                engine.prop_params)
             all_ids.append(np.asarray(ids))
     idmaps = np.concatenate(all_ids, axis=1)[:, :t]  # (S, T, oh, ow)
 

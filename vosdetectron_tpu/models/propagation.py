@@ -23,8 +23,9 @@ L2-normalized — appearance similarity without extra training.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
@@ -38,9 +39,14 @@ class TrackState(NamedTuple):
     miss: jnp.ndarray    # (K,) int32 consecutive unmatched frames
     score: jnp.ndarray   # (K,) float32 track confidence
     obj_id: jnp.ndarray  # (K,) int32 palette id (0 = unused slot)
+    # Previous frame's propagation input (mh, mw, F) for the learned
+    # flow-warp head; None under identity propagation (None is an empty
+    # pytree, so the scan carry structure stays consistent either way).
+    pfeat: Optional[jnp.ndarray] = None
 
 
-def empty_track_state(cfg: Config, emb_dim: int) -> TrackState:
+def empty_track_state(cfg: Config, emb_dim: int,
+                      pfeat: Optional[jnp.ndarray] = None) -> TrackState:
     k = cfg.vos.max_tracks
     mh, mw = cfg.vos.track_mask_size
     return TrackState(
@@ -50,6 +56,7 @@ def empty_track_state(cfg: Config, emb_dim: int) -> TrackState:
         miss=jnp.zeros((k,), jnp.int32),
         score=jnp.zeros((k,), jnp.float32),
         obj_id=jnp.zeros((k,), jnp.int32),
+        pfeat=pfeat,
     )
 
 
@@ -109,6 +116,182 @@ def propagate_identity(state: TrackState) -> jnp.ndarray:
     return state.masks
 
 
+def local_correlation(prev: jnp.ndarray, cur: jnp.ndarray,
+                      radius: int) -> jnp.ndarray:
+    """Cost volume between two (h, w, c) feature maps.
+
+    out[y, x, i(dy,dx)] = <prev[y+dy, x+dx], cur[y, x]> / sqrt(c) for
+    displacements in [-radius, radius]^2 — the appearance-invariant motion
+    evidence a flow net can generalize from (convs on raw concatenated
+    frames memorize textures instead; cf. PWC-Net cost volumes). The
+    (2r+1)^2 shifts unroll at trace time into fused slices+dots."""
+    h, w, c = prev.shape
+    pad = jnp.pad(prev, ((radius, radius), (radius, radius), (0, 0)))
+    outs = []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            shifted = jax.lax.dynamic_slice(
+                pad, (radius + dy, radius + dx, 0), (h, w, c))
+            outs.append((shifted * cur).sum(-1))
+    return jnp.stack(outs, axis=-1) / jnp.sqrt(float(c))
+
+
+def warp_bilinear(masks: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Backward-warp (K, h, w) masks by a (h, w, 2) flow field (dy, dx in
+    pixels): out[k, y, x] = masks[k, y + flow_y, x + flow_x], bilinear,
+    border-clamped. Pure gather — XLA-friendly, trivially differentiable."""
+    k, h, w = masks.shape
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    sy = jnp.clip(yy + flow[..., 0], 0.0, h - 1.0)
+    sx = jnp.clip(xx + flow[..., 1], 0.0, w - 1.0)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = sy - y0
+    wx = sx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    return (((1 - wy) * (1 - wx))[None] * masks[:, y0i, x0i]
+            + ((1 - wy) * wx)[None] * masks[:, y0i, x1i]
+            + (wy * (1 - wx))[None] * masks[:, y1i, x0i]
+            + (wy * wx)[None] * masks[:, y1i, x1i])
+
+
+class PropagationHead(nn.Module):
+    """Learned mask propagation: flow-warp + per-track refinement.
+
+    TPU-native design of the fork's propagation module (reference:
+    fork-added recurrent/flow-warp propagation head, SURVEY.md §2.2 "Mask
+    propagation / association" ~500 LoC; capability Tier A via
+    BASELINE.json "mask-propagate"). All ops are fixed-shape convs,
+    gathers, and elementwise math at track resolution — one lax.scan step's
+    worth of work is a few MXU-sized convs over a (mh, mw) grid.
+
+    Structure:
+      * ``frame_input``: per-frame input G_t = [normalized image at track
+        res (3) | 1x1-projected backbone features (feat_dim)] — computed
+        once per frame in the batched detection phase, carried in
+        TrackState.pfeat between frames.
+      * flow net: concat(G_{t-1}, G_t) -> 2 convs at half resolution ->
+        2-ch flow, upsampled x2. Zero-init final conv => zero flow =>
+        exact identity warp at initialization.
+      * warp: backward bilinear warp of every track mask by the (shared)
+        flow field.
+      * refine: per-track convs on [warped | G_t] -> residual logits,
+        zero-init; added to a sharpened-warp base logit so the untrained
+        head behaves like (a slightly sharpened) identity propagation.
+    """
+
+    feat_dim: int = 16
+    hidden: int = 32
+    corr_radius: int = 4  # cost-volume window at half resolution
+    base_scale: float = 4.0  # sharpness of the warped-mask base logit
+
+    def setup(self):
+        zeros = nn.initializers.zeros
+        self.proj = nn.Conv(self.feat_dim, (1, 1), name="proj")
+        self.corr_feat = nn.Conv(self.hidden, (3, 3), name="corr_feat")
+        self.flow1 = nn.Conv(self.hidden, (3, 3), name="flow1")
+        self.flow2 = nn.Conv(self.hidden, (3, 3), name="flow2")
+        self.flow_out = nn.Conv(2, (3, 3), kernel_init=zeros,
+                                bias_init=zeros, name="flow_out")
+        self.refine1 = nn.Conv(16, (3, 3), name="refine1")
+        self.refine_out = nn.Conv(1, (3, 3), kernel_init=zeros,
+                                  bias_init=zeros, name="refine_out")
+        self.feat_norm = nn.LayerNorm(name="feat_norm")
+
+    def frame_input(self, img_lr: jnp.ndarray,
+                    feat_lr: jnp.ndarray) -> jnp.ndarray:
+        """(mh, mw, 3) image + (mh, mw, C) features -> (mh, mw, 3+F).
+
+        Both inputs are brought to O(1) scale — the image arrives in
+        Detectron convention (mean-subtracted, stds=1, so values span
+        ±~150) and raw backbone features have arbitrary magnitude; without
+        this the flow/refine convs see exploding activations and training
+        diverges."""
+        img = img_lr * (1.0 / 64.0)
+        feat = self.feat_norm(self.proj(feat_lr))
+        return jnp.concatenate([img, feat], axis=-1)
+
+    def flow(self, prev_inp: jnp.ndarray, cur_inp: jnp.ndarray
+             ) -> jnp.ndarray:
+        """Flow field (mh, mw, 2) estimated at half resolution from a
+        local cost volume (appearance-invariant, so it transfers to unseen
+        objects) plus the current-frame context."""
+        mh, mw, _ = cur_inp.shape
+
+        def half(x):
+            return nn.avg_pool(x[None], (2, 2), strides=(2, 2))[0]
+
+        ph, ch = half(prev_inp), half(cur_inp)
+        pf = self.corr_feat(ph)
+        cf = self.corr_feat(ch)
+
+        def l2n(x):
+            return x / jnp.maximum(
+                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-6)
+
+        corr = local_correlation(l2n(pf), l2n(cf), self.corr_radius)
+        h = nn.relu(self.flow1(jnp.concatenate([corr, ch], axis=-1)))
+        h = nn.relu(self.flow2(h))
+        fh = self.flow_out(h)
+        return 2.0 * jax.image.resize(fh, (mh, mw, 2), "linear")
+
+    def propagate_with_aux(self, prev_inp: jnp.ndarray,
+                           cur_inp: jnp.ndarray, masks: jnp.ndarray
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (logits (K,mh,mw), warped (K,mh,mw)).
+
+        The warped (pre-refine) masks are exposed so training can place an
+        auxiliary loss directly on the flow path — otherwise the refine
+        convs compensate for a lazy flow during training and the motion
+        model never forms. The refinement itself sees only appearance-light
+        signals (warped mask, current image channels, flow); raw backbone
+        features feed the flow's cost volume but not the refine convs,
+        which would otherwise memorize per-sequence texture instead of
+        boundary structure."""
+        k = masks.shape[0]
+        flow = self.flow(prev_inp, cur_inp)
+        warped = warp_bilinear(masks, flow)
+        ctx = jnp.concatenate([cur_inp[..., :3], flow * 0.25], axis=-1)
+        ctx = jnp.broadcast_to(ctx[None], (k,) + ctx.shape)
+        z = jnp.concatenate([warped[..., None], ctx], axis=-1)
+        res = self.refine_out(nn.relu(self.refine1(z)))[..., 0]
+        return res + self.base_scale * (2.0 * warped - 1.0), warped
+
+    def propagate_logits(self, prev_inp: jnp.ndarray, cur_inp: jnp.ndarray,
+                         masks: jnp.ndarray) -> jnp.ndarray:
+        """(mh,mw,F) x (mh,mw,F) x (K,mh,mw) -> (K,mh,mw) mask logits."""
+        return self.propagate_with_aux(prev_inp, cur_inp, masks)[0]
+
+    def __call__(self, prev_inp: jnp.ndarray, cur_inp: jnp.ndarray,
+                 masks: jnp.ndarray) -> jnp.ndarray:
+        return nn.sigmoid(self.propagate_logits(prev_inp, cur_inp, masks))
+
+    def init_all(self, img_lr: jnp.ndarray, feat_lr: jnp.ndarray,
+                 masks: jnp.ndarray) -> jnp.ndarray:
+        """Init entrypoint touching every submodule (proj + flow + refine)."""
+        inp = self.frame_input(img_lr, feat_lr)
+        return self.propagate_logits(inp, inp, masks)
+
+
+def init_propagation_params(cfg: Config, head: PropagationHead, key,
+                            backbone_dim: int):
+    """Jitted head init (eager flax init is ruinous over a device tunnel)."""
+    mh, mw = cfg.vos.track_mask_size
+    k = cfg.vos.max_tracks
+
+    def _init(k_):
+        return head.init(k_, jnp.zeros((mh, mw, 3), jnp.float32),
+                         jnp.zeros((mh, mw, backbone_dim), jnp.float32),
+                         jnp.zeros((k, mh, mw), jnp.float32),
+                         method=PropagationHead.init_all)["params"]
+
+    return jax.jit(_init)(key)
+
+
 def associate_and_update(cfg: Config, state: TrackState,
                          det_masks_lr: jnp.ndarray, det_emb: jnp.ndarray,
                          det_scores: jnp.ndarray, det_valid: jnp.ndarray,
@@ -141,7 +324,7 @@ def associate_and_update(cfg: Config, state: TrackState,
     alive = state.alive & (new_miss <= v.miss_tolerance)
 
     state = TrackState(new_masks, new_emb, alive, new_miss, new_score,
-                       state.obj_id)
+                       state.obj_id, state.pfeat)
 
     if not v.semi_supervised:
         state = _spawn_tracks(cfg, state, det_masks_lr, det_emb, det_scores,
@@ -177,6 +360,7 @@ def _spawn_tracks(cfg: Config, state: TrackState, det_masks_lr, det_emb,
             score=jnp.where(ok, st.score.at[free].set(det_scores[j]),
                             st.score),
             obj_id=jnp.where(ok, st.obj_id.at[free].set(next_id), st.obj_id),
+            pfeat=st.pfeat,
         )
         cand = cand.at[j].set(-jnp.inf)
         return st, cand

@@ -60,14 +60,31 @@ def _interp_operator(lo: jnp.ndarray, size: jnp.ndarray, dim: int,
     i0, i1, w0, w1, inside = _bilinear_1d(coords, dim)
     w0 = jnp.where(inside, w0, 0.0)
     w1 = jnp.where(inside, w1, 0.0)
-    # window-relative columns; clamp into window (correct for in-spec rois,
-    # bounded error only for rois exceeding WINDOW — see module docstring)
+    # window-relative columns; clamp into window. Correct for in-spec rois;
+    # rois whose samples would clamp are detected by _window_exceeded and
+    # routed to the exact XLA path by the kernel wrappers.
     c0 = jnp.clip(i0 - origin[:, None], 0, WINDOW - 1)
     c1 = jnp.clip(i1 - origin[:, None], 0, WINDOW - 1)
     cols = jnp.arange(WINDOW)[None, None, :]
     a = (jnp.where(cols == c0[:, :, None], w0[:, :, None], 0.0)
          + jnp.where(cols == c1[:, :, None], w1[:, :, None], 0.0))
     return a  # (N, P*s, WINDOW)
+
+
+def _window_exceeded(lo: jnp.ndarray, size: jnp.ndarray, dim,
+                     origin: jnp.ndarray, pooled: int,
+                     sampling_ratio: int) -> jnp.ndarray:
+    """(N,) bool: does any in-image sample of this RoI fall outside its
+    WINDOW? Mirrors _interp_operator's clamp condition exactly — True
+    means the clamped kernel output would be silently wrong for this RoI
+    and the caller must route it to the exact XLA path."""
+    coords = _sample_coords_1d(lo, size, pooled, sampling_ratio)
+    i0, i1, w0, w1, inside = _bilinear_1d(coords, dim)
+    c0 = i0 - origin[:, None]
+    c1 = i1 - origin[:, None]
+    bad0 = inside & (w0 > 0) & ((c0 < 0) | (c0 > WINDOW - 1))
+    bad1 = inside & (w1 > 0) & ((c1 < 0) | (c1 > WINDOW - 1))
+    return (bad0 | bad1).any(axis=1)
 
 
 CBLOCK = 128
@@ -186,7 +203,7 @@ def roi_align_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
     )
     kernel = functools.partial(_kernel, pooled=pooled,
                                sampling_ratio=sampling_ratio, h=h, w=w)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, pooled, pooled, c), jnp.float32),
@@ -204,6 +221,20 @@ def roi_align_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
         ),
         interpret=interpret,
     )(origins, ay, ax, feat)
+
+    # Oversize guard (single-level C4 rois can span > WINDOW feature px,
+    # e.g. stride-16 rois on 800-scale images): route such rois to the
+    # exact XLA gather path. lax.cond keeps the fallback off the hot path
+    # when every roi is in-spec (the overwhelmingly common case).
+    oversize = (_window_exceeded(y1, rh, h, oy, pooled, sampling_ratio)
+                | _window_exceeded(x1, rw, w, ox, pooled, sampling_ratio))
+
+    def _fix(o):
+        exact = roi_align(feat.astype(jnp.float32), rois, spatial_scale,
+                          pooled, sampling_ratio)
+        return jnp.where(oversize[:, None, None, None], exact, o)
+
+    return jax.lax.cond(jnp.any(oversize), _fix, lambda o: o, out)
 
 
 def _pyramid_kernel(meta_ref, ay_ref, ax_ref, f0, f1, f2, f3, out_ref,
@@ -290,9 +321,10 @@ def roi_align_pyramid_pallas(feats, rois: jnp.ndarray, strides,
     per-roi window origins get a +i*h_l image offset, so the whole batch is
     ONE kernel launch.
     """
-    from ..roi_align import fpn_level_assignment
+    from ..roi_align import fpn_level_assignment, roi_align_pyramid
 
     assert len(feats) == 4, "pyramid kernel expects 4 levels"
+    orig_feats = list(feats)  # pre-padding, for the oversize fallback
     batched = rois.ndim == 3
     if batched:
         b, r = rois.shape[:2]
@@ -392,6 +424,32 @@ def roi_align_pyramid_pallas(feats, rois: jnp.ndarray, strides,
         ),
         interpret=interpret,
     )(meta, ay, ax, *feats)
+
+    # Oversize guard: FPN level assignment bounds sqrt(wh)/2^k to < 28, but
+    # extreme aspect ratios can still push one axis past WINDOW — detect
+    # with the same condition the clamp uses and fall back to the exact
+    # XLA pyramid for those rois only.
+    hs_f = hs[:, None].astype(jnp.float32)
+    ws_f = ws[:, None].astype(jnp.float32)
+    oversize = (_window_exceeded(y1, rh, hs_f, oy, pooled, sampling_ratio)
+                | _window_exceeded(x1, rw, ws_f, ox, pooled,
+                                   sampling_ratio))
+
+    def _fix(o):
+        if batched:
+            exact = jax.vmap(lambda fs, bx: roi_align_pyramid(
+                [f.astype(jnp.float32) for f in fs], bx, strides, k_min,
+                k_max, pooled, sampling_ratio, canonical_scale,
+                canonical_level))(tuple(orig_feats), rois.reshape(b, r, 4))
+            exact = exact.reshape(n, pooled, pooled, c)
+        else:
+            exact = roi_align_pyramid(
+                [f.astype(jnp.float32) for f in orig_feats], rois, strides,
+                k_min, k_max, pooled, sampling_ratio, canonical_scale,
+                canonical_level)
+        return jnp.where(oversize[:, None, None, None], exact, o)
+
+    out = jax.lax.cond(jnp.any(oversize), _fix, lambda o: o, out)
     if batched:
         return out.reshape(b, r, pooled, pooled, c)
     return out

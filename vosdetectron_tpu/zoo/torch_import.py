@@ -108,38 +108,49 @@ def import_torchvision_resnet(sd: Mapping[str, np.ndarray],
 # ---------------------------------------------------------------------------
 
 
+def _dp_resnet_stage(sd: Mapping[str, np.ndarray], prefix: str,
+                     num_blocks: int) -> Dict:
+    stage: Dict = {}
+    for b in range(num_blocks):
+        pre = f"{prefix}.{b}"
+        blk: Dict = {}
+        for ci in (1, 2, 3):
+            blk[f"conv{ci}"] = {
+                "kernel": _t_conv(sd[f"{pre}.conv{ci}.weight"])}
+            blk[f"bn{ci}"] = _affine_from(sd, f"{pre}.bn{ci}")
+        if f"{pre}.downsample.0.weight" in sd:
+            blk["shortcut_conv"] = {
+                "kernel": _t_conv(sd[f"{pre}.downsample.0.weight"])}
+            blk["shortcut_bn"] = _affine_from(sd, f"{pre}.downsample.1")
+        stage[f"block{b}"] = blk
+    return stage
+
+
 def import_detectron_pytorch(sd: Mapping[str, np.ndarray], cfg) -> Dict:
-    """Full-model import for the FPN Mask R-CNN assembly.
+    """Full-model import for the FPN and C4 Mask R-CNN assemblies.
 
     Expected key families (reconstructed reference naming — Tier B):
       Conv_Body.res{1..5}...    backbone (res1 = stem)
       Conv_Body.conv_top / topdown_lateral_modules.N.conv_lateral /
       posthoc_modules.N         FPN lateral+output convs
-      RPN.FPN_RPN_conv / FPN_RPN_cls_score / FPN_RPN_bbox_pred
-      Box_Head.fc1 / fc2 ; Box_Outs.cls_score / bbox_pred
+      FPN: RPN.FPN_RPN_conv / FPN_RPN_cls_score / FPN_RPN_bbox_pred;
+           Box_Head.fc1 / fc2
+      C4:  RPN.RPN_conv / RPN_cls_score / RPN_bbox_pred;
+           Box_Head.res5.{b}... (ResNet_roi_conv5_head)
+      Box_Outs.cls_score / bbox_pred
       Mask_Head.conv_fcn.{0,2,4,6} / upconv ; Mask_Outs.classify
     """
     sd = {k: np.asarray(v) for k, v in sd.items()}
+    is_fpn = cfg.fpn.enabled
     body: Dict = {"stem": {
         "conv1": {"kernel": _t_conv(sd["Conv_Body.res1.conv1.weight"])},
         "bn1": _affine_from(sd, "Conv_Body.res1.bn1"),
     }}
     blocks = _TV_LAYERS[50 if "101" not in cfg.model.conv_body else 101]
-    for si, n in enumerate(blocks):
-        stage: Dict = {}
-        for b in range(n):
-            pre = f"Conv_Body.res{si + 2}.{b}"
-            blk: Dict = {}
-            for ci in (1, 2, 3):
-                blk[f"conv{ci}"] = {
-                    "kernel": _t_conv(sd[f"{pre}.conv{ci}.weight"])}
-                blk[f"bn{ci}"] = _affine_from(sd, f"{pre}.bn{ci}")
-            if f"{pre}.downsample.0.weight" in sd:
-                blk["shortcut_conv"] = {
-                    "kernel": _t_conv(sd[f"{pre}.downsample.0.weight"])}
-                blk["shortcut_bn"] = _affine_from(sd, f"{pre}.downsample.1")
-            stage[f"block{b}"] = blk
-        body[f"res{si + 2}"] = stage
+    n_body_stages = 4 if is_fpn else 3  # C4 keeps res5 in the box head
+    for si in range(n_body_stages):
+        body[f"res{si + 2}"] = _dp_resnet_stage(
+            sd, f"Conv_Body.res{si + 2}", blocks[si])
 
     def conv(prefix):
         out = {"kernel": _t_conv(sd[f"{prefix}.weight"])}
@@ -147,26 +158,34 @@ def import_detectron_pytorch(sd: Mapping[str, np.ndarray], cfg) -> Dict:
             out["bias"] = np.asarray(sd[f"{prefix}.bias"], np.float32)
         return out
 
-    fpn = {"lateral_c5": conv("Conv_Body.conv_top")}
-    for i in range(3):  # C4, C3, C2 laterals (top-down order in reference)
-        fpn[f"lateral_c{4 - i}"] = conv(
-            f"Conv_Body.topdown_lateral_modules.{i}.conv_lateral")
-    for i in range(4):  # P5..P2 output convs
-        fpn[f"output_p{5 - i}"] = conv(f"Conv_Body.posthoc_modules.{i}")
+    params = {"body": body}
+    if is_fpn:
+        fpn = {"lateral_c5": conv("Conv_Body.conv_top")}
+        for i in range(3):  # C4, C3, C2 laterals (top-down order in ref)
+            fpn[f"lateral_c{4 - i}"] = conv(
+                f"Conv_Body.topdown_lateral_modules.{i}.conv_lateral")
+        for i in range(4):  # P5..P2 output convs
+            fpn[f"output_p{5 - i}"] = conv(f"Conv_Body.posthoc_modules.{i}")
+        params["fpn"] = fpn
+        params["rpn"] = {"conv": conv("RPN.FPN_RPN_conv"),
+                         "cls_logits": conv("RPN.FPN_RPN_cls_score"),
+                         "bbox_pred": conv("RPN.FPN_RPN_bbox_pred")}
+        r = cfg.fast_rcnn.roi_xform_resolution
+        params["box_head"] = {
+            "fc1": {"kernel": _t_fc_chw(sd["Box_Head.fc1.weight"],
+                                        cfg.fpn.dim, r, r),
+                    "bias": sd["Box_Head.fc1.bias"].astype(np.float32)},
+            "fc2": {"kernel": _t_fc(sd["Box_Head.fc2.weight"]),
+                    "bias": sd["Box_Head.fc2.bias"].astype(np.float32)},
+        }
+    else:
+        params["rpn"] = {"conv": conv("RPN.RPN_conv"),
+                         "cls_logits": conv("RPN.RPN_cls_score"),
+                         "bbox_pred": conv("RPN.RPN_bbox_pred")}
+        params["box_head"] = {
+            "res5": _dp_resnet_stage(sd, "Box_Head.res5", blocks[3])}
 
-    rpn = {"conv": conv("RPN.FPN_RPN_conv"),
-           "cls_logits": conv("RPN.FPN_RPN_cls_score"),
-           "bbox_pred": conv("RPN.FPN_RPN_bbox_pred")}
-
-    r = cfg.fast_rcnn.roi_xform_resolution
-    box_head = {
-        "fc1": {"kernel": _t_fc_chw(sd["Box_Head.fc1.weight"],
-                                    cfg.fpn.dim, r, r),
-                "bias": sd["Box_Head.fc1.bias"].astype(np.float32)},
-        "fc2": {"kernel": _t_fc(sd["Box_Head.fc2.weight"]),
-                "bias": sd["Box_Head.fc2.bias"].astype(np.float32)},
-    }
-    box_outs = {
+    params["box_outs"] = {
         "cls_score": {"kernel": _t_fc(sd["Box_Outs.cls_score.weight"]),
                       "bias": sd["Box_Outs.cls_score.bias"].astype(
                           np.float32)},
@@ -174,9 +193,6 @@ def import_detectron_pytorch(sd: Mapping[str, np.ndarray], cfg) -> Dict:
                       "bias": sd["Box_Outs.bbox_pred.bias"].astype(
                           np.float32)},
     }
-
-    params = {"body": body, "fpn": fpn, "rpn": rpn, "box_head": box_head,
-              "box_outs": box_outs}
 
     if cfg.model.mask_on and "Mask_Head.conv_fcn.0.weight" in sd:
         mask = {}
@@ -188,6 +204,131 @@ def import_detectron_pytorch(sd: Mapping[str, np.ndarray], cfg) -> Dict:
         mask["mask_logits"] = conv("Mask_Outs.classify")
         params["mask_head"] = mask
     return params
+
+
+# ---------------------------------------------------------------------------
+# Caffe2 Detectron .pkl blobs -> GeneralizedRCNN params
+# (reference: lib/utils/detectron_weight_helper.py — blob-name mapping.
+#  Blob naming below is the public Caffe2 Detectron convention, Tier B
+#  until /root/reference materializes.)
+# ---------------------------------------------------------------------------
+
+_STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+
+
+def _c2_affine(bl: Mapping[str, np.ndarray], name: str) -> Dict:
+    """Detectron checkpoints ship frozen BN already folded to scale/bias
+    blobs (`*_bn_s` / `*_bn_b`)."""
+    return {"scale": np.asarray(bl[f"{name}_bn_s"], np.float32),
+            "bias": np.asarray(bl[f"{name}_bn_b"], np.float32)}
+
+
+def _c2_conv(bl: Mapping[str, np.ndarray], name: str) -> Dict:
+    out = {"kernel": _t_conv(bl[f"{name}_w"])}
+    if f"{name}_b" in bl:
+        out["bias"] = np.asarray(bl[f"{name}_b"], np.float32)
+    return out
+
+
+def _c2_resnet_stage(bl: Mapping[str, np.ndarray], stage: int,
+                     num_blocks: int) -> Dict:
+    stage_p: Dict = {}
+    for b in range(num_blocks):
+        pre = f"res{stage}_{b}"
+        blk: Dict = {}
+        for ci, br in enumerate("abc", start=1):
+            blk[f"conv{ci}"] = {
+                "kernel": _t_conv(bl[f"{pre}_branch2{br}_w"])}
+            blk[f"bn{ci}"] = _c2_affine(bl, f"{pre}_branch2{br}")
+        if f"{pre}_branch1_w" in bl:
+            blk["shortcut_conv"] = {
+                "kernel": _t_conv(bl[f"{pre}_branch1_w"])}
+            blk["shortcut_bn"] = _c2_affine(bl, f"{pre}_branch1")
+        stage_p[f"block{b}"] = blk
+    return stage_p
+
+
+def import_detectron_pkl(blobs: Mapping[str, np.ndarray], cfg) -> Dict:
+    """Caffe2 Detectron blob dict -> params for our GeneralizedRCNN.
+
+    Handles both assemblies:
+      * R-50/101-FPN: fpn_inner_* laterals, fpn_res*_sum outputs,
+        *_fpn2-named shared RPN, fc6/fc7 box head.
+      * R-50/101-C4: single-scale conv_rpn RPN, res5 box head
+        (Res5RoIHead), cls_score/bbox_pred outputs.
+    Mask head (v1up4convs): _[mask]_fcn1..4, conv5_mask, mask_fcn_logits.
+    """
+    bl = {k: np.asarray(v) for k, v in blobs.items()}
+    depth = 101 if "101" in cfg.model.conv_body else 50
+    blocks = _STAGE_BLOCKS[depth]
+    is_fpn = cfg.fpn.enabled
+
+    body: Dict = {"stem": {
+        "conv1": {"kernel": _t_conv(bl["conv1_w"])},
+        "bn1": _c2_affine(bl, "res_conv1"),
+    }}
+    n_body_stages = 4 if is_fpn else 3  # C4 keeps res5 in the box head
+    for si in range(n_body_stages):
+        body[f"res{si + 2}"] = _c2_resnet_stage(bl, si + 2, blocks[si])
+    params: Dict = {"body": body}
+
+    if is_fpn:
+        # last block index per stage names the sum blobs (R50: res5_2 etc.)
+        last = {s: blocks[s - 2] - 1 for s in (2, 3, 4, 5)}
+        fpn = {"lateral_c5": _c2_conv(bl, f"fpn_inner_res5_{last[5]}_sum")}
+        for s in (4, 3, 2):
+            fpn[f"lateral_c{s}"] = _c2_conv(
+                bl, f"fpn_inner_res{s}_{last[s]}_sum_lateral")
+        for s in (2, 3, 4, 5):
+            fpn[f"output_p{s}"] = _c2_conv(bl, f"fpn_res{s}_{last[s]}_sum")
+        params["fpn"] = fpn
+        params["rpn"] = {"conv": _c2_conv(bl, "conv_rpn_fpn2"),
+                         "cls_logits": _c2_conv(bl, "rpn_cls_logits_fpn2"),
+                         "bbox_pred": _c2_conv(bl, "rpn_bbox_pred_fpn2")}
+        r = cfg.fast_rcnn.roi_xform_resolution
+        params["box_head"] = {
+            "fc1": {"kernel": _t_fc_chw(bl["fc6_w"], cfg.fpn.dim, r, r),
+                    "bias": bl["fc6_b"].astype(np.float32)},
+            "fc2": {"kernel": _t_fc(bl["fc7_w"]),
+                    "bias": bl["fc7_b"].astype(np.float32)},
+        }
+    else:
+        params["rpn"] = {"conv": _c2_conv(bl, "conv_rpn"),
+                         "cls_logits": _c2_conv(bl, "rpn_cls_logits"),
+                         "bbox_pred": _c2_conv(bl, "rpn_bbox_pred")}
+        params["box_head"] = {
+            "res5": _c2_resnet_stage(bl, 5, blocks[3])}
+
+    params["box_outs"] = {
+        "cls_score": {"kernel": _t_fc(bl["cls_score_w"]),
+                      "bias": bl["cls_score_b"].astype(np.float32)},
+        "bbox_pred": {"kernel": _t_fc(bl["bbox_pred_w"]),
+                      "bias": bl["bbox_pred_b"].astype(np.float32)},
+    }
+
+    if cfg.model.mask_on and "_[mask]_fcn1_w" in bl:
+        mask: Dict = {}
+        for i in range(cfg.mrcnn.conv_layers):
+            mask[f"fcn{i + 1}"] = _c2_conv(bl, f"_[mask]_fcn{i + 1}")
+        mask["upconv"] = {
+            "kernel": _t_deconv(bl["conv5_mask_w"]),
+            "bias": bl["conv5_mask_b"].astype(np.float32)}
+        mask["mask_logits"] = _c2_conv(bl, "mask_fcn_logits")
+        params["mask_head"] = mask
+    return params
+
+
+def load_detectron_pkl(path: str) -> Dict[str, np.ndarray]:
+    """Load a Caffe2 Detectron .pkl weights file (py2 pickle of a blob
+    dict, possibly nested under 'blobs')."""
+    import pickle
+
+    with open(path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    if isinstance(data, dict) and "blobs" in data:
+        data = data["blobs"]
+    return {k: np.asarray(v) for k, v in data.items()
+            if not k.endswith("_momentum")}
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
