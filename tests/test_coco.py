@@ -133,3 +133,71 @@ def test_evaluator_segm_mode(rng):
                  box, np.array([1], np.int32),
                  det_masks=dm, gt_masks=gm)
     assert ev.summarize()["AP"] == pytest.approx(1.0)
+
+
+def test_evaluator_area_buckets():
+    """Hand-computed AP_S/M/L (VERDICT r1 missing #5): one small and one
+    large GT, both hit -> both buckets perfect, medium undefined (nan)."""
+    from vosdetectron_tpu.metrics.coco_eval import CocoEvaluator
+
+    ev = CocoEvaluator("bbox")
+    gt = np.array([[0, 0, 16, 16],        # area 256 -> small
+                   [50, 50, 250, 250]],   # area 40000 -> large
+                  np.float32)
+    cls = np.array([1, 1], np.int32)
+    ev.add_image(gt.copy(), np.array([0.9, 0.8], np.float32), cls,
+                 gt, cls)
+    r = ev.summarize()
+    assert r["AP"] == pytest.approx(1.0)
+    assert r["AP_small"] == pytest.approx(1.0)
+    assert r["AP_large"] == pytest.approx(1.0)
+    assert np.isnan(r["AP_medium"])
+
+
+def test_evaluator_out_of_range_det_is_ignored_not_fp():
+    """An unmatched detection whose area falls outside the bucket must be
+    ignored there, not counted as a false positive (COCOeval dtIg rule)."""
+    from vosdetectron_tpu.metrics.coco_eval import CocoEvaluator
+
+    ev = CocoEvaluator("bbox")
+    gt = np.array([[0, 0, 16, 16]], np.float32)           # small GT
+    dets = np.array([[0, 0, 16, 16],                       # hit (small)
+                     [100, 100, 300, 300]], np.float32)    # large FP
+    # the large FP outranks the hit by score
+    ev.add_image(dets, np.array([0.9, 0.95], np.float32),
+                 np.array([1, 1], np.int32), gt, np.array([1], np.int32))
+    r = ev.summarize()
+    # "all" bucket: the large det IS a false positive ranked first
+    assert r["AP"] < 1.0
+    # "small" bucket: the large det is out of range -> ignored -> perfect
+    assert r["AP_small"] == pytest.approx(1.0)
+
+
+def test_evaluator_ar_at_maxdets():
+    """AR@1 sees only the top-scoring detection per image (prefix
+    consistency of the greedy matching); AR@100 sees both."""
+    from vosdetectron_tpu.metrics.coco_eval import CocoEvaluator
+
+    ev = CocoEvaluator("bbox")
+    gt = np.array([[0, 0, 20, 20], [40, 40, 80, 80]], np.float32)
+    cls = np.array([1, 1], np.int32)
+    ev.add_image(gt.copy(), np.array([0.9, 0.8], np.float32), cls, gt, cls)
+    r = ev.summarize()
+    assert r["AR@100"] == pytest.approx(1.0)
+    assert r["AR@1"] == pytest.approx(0.5)
+
+
+def test_evaluator_tie_prefers_later_gt_index():
+    """COCOeval tie semantics: equal IoU goes to the later GT index."""
+    from vosdetectron_tpu.metrics.coco_eval import (CocoEvaluator,
+                                                    _match_image_category)
+
+    iou = np.array([[0.99, 0.99]], np.float32)
+    tp, ig = _match_image_category(iou, np.zeros(2, bool),
+                                   np.zeros(2, bool), np.zeros(1, bool))
+    assert tp.all()
+    # second det at same IoU must take the REMAINING gt (index 0)
+    iou2 = np.array([[0.99, 0.99], [0.99, 0.99]], np.float32)
+    tp2, _ = _match_image_category(iou2, np.zeros(2, bool),
+                                   np.zeros(2, bool), np.zeros(2, bool))
+    assert tp2.all()

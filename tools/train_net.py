@@ -22,8 +22,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from vosdetectron_tpu.data.detection_data import (DetectionLoader,
-                                                      build_roidb)
+    from vosdetectron_tpu.data.catalog import build_combined_roidb
+    from vosdetectron_tpu.data.detection_data import DetectionLoader
     from vosdetectron_tpu.engine.train import Trainer
     from vosdetectron_tpu.models.targets import GroundTruth
     from vosdetectron_tpu.parallel.mesh import (initialize_multihost,
@@ -36,7 +36,9 @@ def main():
     if args.ckpt:
         trainer.load(args.ckpt)
 
-    records = build_roidb(cfg, "train")
+    # resolve cfg.train.datasets through the catalog (multi-dataset concat;
+    # reference: combined_roidb_for_training)
+    records = build_combined_roidb(cfg)
     n_dev = 1 if mesh is None else mesh.size
     batch = cfg.train.ims_per_batch * n_dev
     loader = DetectionLoader(cfg, records, batch)

@@ -112,6 +112,9 @@ class FastRCNNCfg:
     roi_xform_method: str = "roi_align"  # roi_align | roi_pool
     roi_xform_resolution: int = 7
     roi_xform_sampling_ratio: int = 2
+    # Run Pallas kernels in interpret mode (CPU-mesh tests of the exact
+    # TPU code path; never set on real hardware).
+    pallas_interpret: bool = False
 
     # Training target sampling (lib/roi_data/fast_rcnn.py).
     batch_size_per_im: int = 512
@@ -251,6 +254,9 @@ class DataCfg:
     """Dataset roots and loader knobs (reference: cfg.DATA_LOADER + catalog)."""
 
     davis_root: str = "/data/DAVIS"
+    # Root for catalog-relative datasets (COCO etc.; data/catalog.py —
+    # reference: dataset_catalog.py's hardcoded data dir).
+    datasets_root: str = "/data"
     pixel_means: Tuple[float, float, float] = (102.9801, 115.9465, 122.7717)  # BGR
     # (1,1,1) = reference parity (Detectron does not divide by std; its
     # pretrained weights expect raw-scale inputs). Set ~ (57.4, 57.1, 58.4)

@@ -32,6 +32,9 @@ class FrameRecord:
     anno_path: str
     flipped: bool = False
 
+    def load(self, cfg: Config, scale: int):
+        return load_example(cfg, self, scale)
+
 
 def build_roidb(cfg: Config, split: str = "train") -> List[FrameRecord]:
     """Frame-level roidb with horizontal-flip duplication
@@ -136,7 +139,10 @@ class DetectionLoader:
             while True:
                 with lock:
                     rec, scale = next(stream)
-                q.put(load_example(cfg, rec, scale))
+                # records carry their own loader (DAVIS frames, COCO
+                # examples, ... — data/catalog.py) but all produce the
+                # same fixed-shape tuple
+                q.put(rec.load(cfg, scale))
 
         for _ in range(self.num_threads):
             threading.Thread(target=worker, daemon=True).start()

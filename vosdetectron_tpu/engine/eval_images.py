@@ -5,9 +5,12 @@ TPU-native rebuild of the reference's test engine
 test_net_on_dataset + lib/utils/subprocess.py per-GPU forks).
 
 The reference forks one subprocess per GPU over image ranges; here frames
-are batched through the single jitted detector and (multi-chip) sharded
-over the data mesh by simply slicing the image list per process — results
-merge in-memory into the evaluator (no pickle round-trips).
+are batched through the single jitted detector in one process. For
+multi-HOST runs, pass process_index/process_count (or rely on the
+jax.process_* defaults) to evaluate a strided image shard per host —
+each host then holds a partial evaluator whose summary covers its shard;
+cross-host aggregation of the raw match lists is the caller's choice
+(the reference merged per-GPU detection pickles the same way).
 """
 
 from __future__ import annotations
@@ -25,8 +28,11 @@ from .inference import Detector, preprocess_np
 def evaluate_coco(detector: Detector, dataset: CocoDataset,
                   cfg: Config, max_images: Optional[int] = None,
                   batch_size: int = 8,
-                  with_masks: bool = True) -> Dict[str, float]:
+                  with_masks: bool = True,
+                  process_index: Optional[int] = None,
+                  process_count: Optional[int] = None) -> Dict[str, float]:
     """Run the detector over a CocoDataset and compute bbox (+segm) AP."""
+    import jax
     import jax.numpy as jnp
 
     ev_box = CocoEvaluator("bbox", cfg.test.detections_per_im)
@@ -36,6 +42,12 @@ def evaluate_coco(detector: Detector, dataset: CocoDataset,
     ids = dataset.image_ids()
     if max_images:
         ids = ids[:max_images]
+    # multi-host shard: strided slice per process (reference:
+    # test_engine.py image-range shards per GPU subprocess)
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if pc > 1:
+        ids = ids[pi::pc]
 
     for start in range(0, len(ids), batch_size):
         chunk = ids[start:start + batch_size]

@@ -1,24 +1,33 @@
-"""COCO-protocol detection/segmentation AP evaluation.
+"""COCO-protocol detection/segmentation AP/AR evaluation.
 
 Rebuild of the reference's image-level eval
 (reference: lib/datasets/task_evaluation.py ~350 LoC +
 json_dataset_evaluator.py ~300 LoC, which defer to pycocotools.COCOeval —
-unavailable here, so the COCOeval protocol core is implemented directly):
+unavailable here, so the COCOeval protocol is implemented directly):
 
-  * per (category, IoU threshold): detections sorted by score matched
-    greedily to the best unmatched GT with IoU >= t; crowd GT can absorb
-    any detection without consuming a slot;
-  * 101-point interpolated precision averaged over recall, then over IoU
-    thresholds 0.50:0.05:0.95 and categories (AP), plus AP50 / AP75;
-  * maxDets=100, area=all (the headline COCO numbers).
+  * per (image, category, area range): detections sorted by score matched
+    greedily to the best unmatched GT with IoU >= t, non-ignored GT
+    preferred, ties to the later GT index (COCOeval tie semantics); crowd
+    GT can absorb any number of detections; GT outside the area range is
+    ignored (matches neither tp nor fp), unmatched detections outside the
+    range are ignored too;
+  * 101-point interpolated precision averaged over recall, IoU thresholds
+    0.50:0.05:0.95, and categories -> AP / AP50 / AP75 / AP_{S,M,L};
+  * average recall AR@{1,10,100} and AR_{S,M,L}@100 — greedy matching is
+    prefix-consistent in detection rank, so every maxDets cut reuses one
+    matching pass per image;
+  * the per-detection matching loop is vectorized over (thresholds, GT) —
+    one numpy step per detection instead of the D*G*10 interpreted loop.
 
-Box IoU uses the native C++ host-ops; mask IoU runs on RLE-decoded masks.
+Box IoU uses the native C++ host-ops (crowd boxes use intersection-over-
+detection-area, the COCOeval crowd semantics); mask IoU runs on decoded
+masks.
 """
 
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -26,51 +35,77 @@ from .. import native
 
 IOU_THRESHS = np.arange(0.5, 1.0, 0.05)
 RECALL_POINTS = np.linspace(0, 1, 101)
+AREA_RANGES: Dict[str, Tuple[float, float]] = {
+    "all": (0.0, float("inf")),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, float("inf")),
+}
+MAX_DETS = (1, 10, 100)
 
 
-def _match_category(det_scores: np.ndarray, iou: np.ndarray,
-                    gt_crowd: np.ndarray, thresh: float):
-    """Greedy matching for one (image, category, threshold).
+def _match_image_category(iou: np.ndarray, gt_ig: np.ndarray,
+                          gt_crowd: np.ndarray, det_oor: np.ndarray
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Greedy COCOeval matching for one (image, category, area range).
 
-    det_scores: (D,) score-sorted descending; iou: (D, G);
-    gt_crowd: (G,) bool. Returns (tp (D,), fp (D,)).
+    iou: (D, G) with detections already score-sorted descending;
+    gt_ig: (G,) ignored GT (crowd or out-of-area); gt_crowd: (G,) crowd;
+    det_oor: (D,) detection outside the area range.
+    Returns (tp (T, D), det_ig (T, D)) over all IoU thresholds at once.
     """
     d, g = iou.shape
-    tp = np.zeros(d, bool)
-    fp = np.zeros(d, bool)
-    gt_taken = np.zeros(g, bool)
+    t = len(IOU_THRESHS)
+    tp = np.zeros((t, d), bool)
+    det_ig = np.zeros((t, d), bool)
+    if g == 0:
+        det_ig |= det_oor[None, :]
+        return tp, det_ig
+    taken = np.zeros((t, g), bool)
+    threshs = IOU_THRESHS[:, None]
     for i in range(d):
-        best, best_iou = -1, thresh
-        for j in range(g):
-            if gt_taken[j] and not gt_crowd[j]:
-                continue
-            if iou[i, j] >= best_iou:
-                # prefer non-crowd matches (COCOeval: crowd only if no
-                # regular GT clears the threshold)
-                if best >= 0 and gt_crowd[j] and not gt_crowd[best]:
-                    continue
-                best, best_iou = j, iou[i, j]
-        if best < 0:
-            fp[i] = True
-        elif gt_crowd[best]:
-            pass  # ignored: neither tp nor fp
-        else:
-            gt_taken[best] = True
-            tp[i] = True
-    return tp, fp
+        row = iou[i]
+        avail = ~taken | gt_crowd[None, :]
+        cand = avail & (row[None, :] >= threshs)
+        vals_all = np.where(cand, row[None, :], -1.0)
+        vals_noig = np.where(cand & ~gt_ig[None, :], row[None, :], -1.0)
+        use_noig = vals_noig.max(axis=1) > -1.0
+        vals = np.where(use_noig[:, None], vals_noig, vals_all)
+        # COCOeval tie semantics: equal IoU goes to the LATER GT index
+        j = g - 1 - vals[:, ::-1].argmax(axis=1)
+        matched = vals[np.arange(t), j] > -1.0
+        ig_j = gt_ig[j]
+        tp[:, i] = matched & ~ig_j
+        det_ig[:, i] = matched & ig_j
+        upd = matched & ~gt_crowd[j]
+        taken[np.arange(t)[upd], j[upd]] = True
+    unmatched = ~(tp | det_ig)
+    det_ig |= unmatched & det_oor[None, :]
+    return tp, det_ig
 
 
-def _ap_from_matches(scores, tps, fps, n_gt: int) -> float:
+def _crowd_box_iou(det: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """Intersection over DETECTION area (COCOeval crowd box semantics)."""
+    x1 = np.maximum(det[:, None, 0], gt[None, :, 0])
+    y1 = np.maximum(det[:, None, 1], gt[None, :, 1])
+    x2 = np.minimum(det[:, None, 2], gt[None, :, 2])
+    y2 = np.minimum(det[:, None, 3], gt[None, :, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    da = ((det[:, 2] - det[:, 0]) * (det[:, 3] - det[:, 1]))[:, None]
+    return np.where(da > 0, inter / np.maximum(da, 1e-12), 0.0)
+
+
+def _ap_from_pr(tp: np.ndarray, ig: np.ndarray, n_gt: int) -> float:
+    """tp/ig: (D,) in global score order. 101-pt interpolated AP."""
     if n_gt == 0:
         return float("nan")
-    order = np.argsort(-np.asarray(scores), kind="stable")
-    tp = np.asarray(tps)[order]
-    fp = np.asarray(fps)[order]
+    sel = ~ig
+    tp = tp[sel]
+    fp = ~tp
     ctp = np.cumsum(tp)
     cfp = np.cumsum(fp)
     recall = ctp / n_gt
     precision = ctp / np.maximum(ctp + cfp, 1e-12)
-    # monotone precision envelope + 101-point interpolation
     for i in range(len(precision) - 2, -1, -1):
         precision[i] = max(precision[i], precision[i + 1])
     out = np.zeros_like(RECALL_POINTS)
@@ -80,8 +115,14 @@ def _ap_from_matches(scores, tps, fps, n_gt: int) -> float:
     return float(out.mean())
 
 
+def _recall_from_pr(tp: np.ndarray, ig: np.ndarray, n_gt: int) -> float:
+    if n_gt == 0:
+        return float("nan")
+    return float(tp[~ig].sum() / n_gt)
+
+
 class CocoEvaluator:
-    """Accumulates per-image detections + GT; computes AP/AP50/AP75.
+    """Accumulates per-image detections + GT; computes the COCO metrics.
 
     Usage:
         ev = CocoEvaluator(iou_type="bbox")   # or "segm"
@@ -89,14 +130,15 @@ class CocoEvaluator:
         results = ev.summarize()
     """
 
-    def __init__(self, iou_type: str = "bbox", max_dets: int = 100):
+    def __init__(self, iou_type: str = "bbox",
+                 max_dets=MAX_DETS):
         assert iou_type in ("bbox", "segm")
         self.iou_type = iou_type
-        self.max_dets = max_dets
-        # per (category, thresh_idx): lists of scores/tp/fp; plus gt counts
-        self._scores = defaultdict(list)
-        self._tp = defaultdict(list)
-        self._fp = defaultdict(list)
+        if isinstance(max_dets, int):
+            max_dets = (1, 10, max_dets) if max_dets > 10 else (max_dets,)
+        self.max_dets = tuple(sorted(max_dets))
+        # per (cat, area): list of per-image (scores, tp (T,D), ig (T,D))
+        self._per_image = defaultdict(list)
         self._ngt = defaultdict(int)
         self._cats = set()
 
@@ -105,10 +147,34 @@ class CocoEvaluator:
                   gt_classes: np.ndarray,
                   gt_crowd: Optional[np.ndarray] = None,
                   det_masks: Optional[np.ndarray] = None,
-                  gt_masks: Optional[np.ndarray] = None) -> None:
-        """Boxes xyxy; masks (N, H, W) binary when iou_type='segm'."""
+                  gt_masks: Optional[np.ndarray] = None,
+                  gt_areas: Optional[np.ndarray] = None) -> None:
+        """Boxes xyxy; masks (N, H, W) binary when iou_type='segm';
+        gt_areas defaults to mask area (segm) / box area (bbox), matching
+        COCO's annotation-area convention when true areas are absent."""
         if gt_crowd is None:
             gt_crowd = np.zeros(len(gt_boxes), bool)
+        gt_crowd = np.asarray(gt_crowd, bool)
+        if gt_areas is None:
+            if self.iou_type == "segm" and gt_masks is not None and \
+                    len(gt_masks):
+                gt_areas = np.asarray(
+                    [m.astype(bool).sum() for m in gt_masks], np.float64)
+            else:
+                gt_areas = ((gt_boxes[:, 2] - gt_boxes[:, 0])
+                            * (gt_boxes[:, 3] - gt_boxes[:, 1])
+                            if len(gt_boxes) else np.zeros(0))
+        gt_areas = np.asarray(gt_areas, np.float64)
+        if self.iou_type == "segm" and det_masks is not None and \
+                len(det_masks):
+            det_areas = np.asarray(
+                [m.astype(bool).sum() for m in det_masks], np.float64)
+        else:
+            det_areas = ((det_boxes[:, 2] - det_boxes[:, 0])
+                         * (det_boxes[:, 3] - det_boxes[:, 1])
+                         if len(det_boxes) else np.zeros(0))
+
+        max_k = self.max_dets[-1]
         cats = set(np.unique(gt_classes).tolist()) | \
             set(np.unique(det_classes).tolist())
         for c in cats:
@@ -117,13 +183,11 @@ class CocoEvaluator:
             self._cats.add(int(c))
             dsel = np.nonzero(det_classes == c)[0]
             gsel = np.nonzero(gt_classes == c)[0]
-            self._ngt[c] += int((~gt_crowd[gsel]).sum())
-            if len(dsel) == 0:
-                continue
             order = dsel[np.argsort(-det_scores[dsel], kind="stable")]
-            order = order[: self.max_dets]
+            order = order[:max_k]
             scores = det_scores[order]
-            if len(gsel):
+            crowd = gt_crowd[gsel]
+            if len(gsel) and len(order):
                 if self.iou_type == "segm":
                     iou = native.mask_iou(det_masks[order], gt_masks[gsel])
                     crowd_iou = native.mask_iou(det_masks[order],
@@ -132,29 +196,73 @@ class CocoEvaluator:
                 else:
                     iou = native.bbox_overlaps(det_boxes[order],
                                                gt_boxes[gsel])
-                    crowd_iou = iou  # crowd boxes: plain IoU approximation
-                crowd = gt_crowd[gsel]
+                    crowd_iou = _crowd_box_iou(det_boxes[order],
+                                               gt_boxes[gsel])
                 iou = np.where(crowd[None, :], crowd_iou, iou)
             else:
-                iou = np.zeros((len(order), 0), np.float32)
-                crowd = np.zeros(0, bool)
-            for ti, t in enumerate(IOU_THRESHS):
-                tp, fp = _match_category(scores, iou, crowd, t)
-                self._scores[(c, ti)].extend(scores.tolist())
-                self._tp[(c, ti)].extend(tp.tolist())
-                self._fp[(c, ti)].extend(fp.tolist())
+                iou = np.zeros((len(order), len(gsel)), np.float32)
+
+            ga = gt_areas[gsel]
+            da = det_areas[order]
+            for area, (lo, hi) in AREA_RANGES.items():
+                gt_ig = crowd | (ga < lo) | (ga > hi)
+                det_oor = (da < lo) | (da > hi)
+                tp, ig = _match_image_category(iou, gt_ig, crowd, det_oor)
+                self._per_image[(c, area)].append((scores, tp, ig))
+                self._ngt[(c, area)] += int((~gt_ig).sum())
+
+    def _accumulate(self, c: int, area: str, k: int):
+        """Concat per-image top-k prefixes, globally score-sorted.
+        Returns (tp (T, D), ig (T, D), n_gt)."""
+        entries = self._per_image.get((c, area), [])
+        if not entries:
+            t = len(IOU_THRESHS)
+            return (np.zeros((t, 0), bool), np.zeros((t, 0), bool),
+                    self._ngt.get((c, area), 0))
+        scores = np.concatenate([e[0][:k] for e in entries])
+        tp = np.concatenate([e[1][:, :k] for e in entries], axis=1)
+        ig = np.concatenate([e[2][:, :k] for e in entries], axis=1)
+        order = np.argsort(-scores, kind="stable")
+        return tp[:, order], ig[:, order], self._ngt.get((c, area), 0)
 
     def summarize(self) -> Dict[str, float]:
-        per_thresh = np.full((len(self._cats), len(IOU_THRESHS)), np.nan)
-        for ci, c in enumerate(sorted(self._cats)):
-            for ti in range(len(IOU_THRESHS)):
-                per_thresh[ci, ti] = _ap_from_matches(
-                    self._scores[(c, ti)], self._tp[(c, ti)],
-                    self._fp[(c, ti)], self._ngt[c])
+        cats = sorted(self._cats)
+        t = len(IOU_THRESHS)
+
+        def ap_matrix(area: str, k: int) -> np.ndarray:
+            m = np.full((len(cats), t), np.nan)
+            for ci, c in enumerate(cats):
+                tp, ig, ngt = self._accumulate(c, area, k)
+                for ti in range(t):
+                    m[ci, ti] = _ap_from_pr(tp[ti], ig[ti], ngt)
+            return m
+
+        def ar_value(area: str, k: int) -> float:
+            vals = []
+            for c in cats:
+                tp, ig, ngt = self._accumulate(c, area, k)
+                vals.extend(_recall_from_pr(tp[ti], ig[ti], ngt)
+                            for ti in range(t))
+            with np.errstate(invalid="ignore"):
+                return float(np.nanmean(vals)) if vals else float("nan")
+
+        kmax = self.max_dets[-1]
+        per_all = ap_matrix("all", kmax)
         with np.errstate(invalid="ignore"):
-            ap = float(np.nanmean(per_thresh))
-            ap50 = float(np.nanmean(per_thresh[:, 0]))
-            ap75 = float(np.nanmean(per_thresh[:, 5]))
-        return {"AP": ap, "AP50": ap50, "AP75": ap75,
-                "per_category": {c: float(np.nanmean(per_thresh[ci]))
-                                 for ci, c in enumerate(sorted(self._cats))}}
+            out = {
+                "AP": float(np.nanmean(per_all)),
+                "AP50": float(np.nanmean(per_all[:, 0])),
+                "AP75": float(np.nanmean(per_all[:, 5])),
+                "AP_small": float(np.nanmean(ap_matrix("small", kmax))),
+                "AP_medium": float(np.nanmean(ap_matrix("medium", kmax))),
+                "AP_large": float(np.nanmean(ap_matrix("large", kmax))),
+                "per_category": {
+                    c: float(np.nanmean(per_all[ci]))
+                    for ci, c in enumerate(cats)},
+            }
+        for k in self.max_dets:
+            out[f"AR@{k}"] = ar_value("all", k)
+        out["AR_small"] = ar_value("small", kmax)
+        out["AR_medium"] = ar_value("medium", kmax)
+        out["AR_large"] = ar_value("large", kmax)
+        return out

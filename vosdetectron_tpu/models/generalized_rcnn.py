@@ -221,7 +221,8 @@ class GeneralizedRCNN(nn.Module):
                 out = roi_align_pyramid_pallas(
                     list(roi_feats), rois, strides, lo, hi, resolution,
                     sr, cfg.fpn.roi_canonical_scale,
-                    cfg.fpn.roi_canonical_level)
+                    cfg.fpn.roi_canonical_level,
+                    interpret=cfg.fast_rcnn.pallas_interpret)
             else:
                 def per_image(fs, bx):
                     return roi_align_pyramid(
@@ -238,7 +239,8 @@ class GeneralizedRCNN(nn.Module):
                 b = rois.shape[0]
                 out = jnp.stack([
                     roi_align_pallas(feats[0][i], rois[i],
-                                     1.0 / cfg.rpn.stride, resolution, sr)
+                                     1.0 / cfg.rpn.stride, resolution, sr,
+                                     interpret=cfg.fast_rcnn.pallas_interpret)
                     for i in range(b)])
             else:
                 def per_image(f, bx):
