@@ -43,6 +43,12 @@ class ModelCfg:
     # Bbox regression weights — Detectron (10, 10, 5, 5).
     bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
     cls_agnostic_bbox_reg: bool = False
+    # Original Detectron integer-box semantics (+1 widths in bbox
+    # transforms/IoU/NMS, clip to w-1/h-1) across the WHOLE traced path —
+    # proposals, target assignment, postprocess (SURVEY §7 hard-part 3;
+    # flip when importing Caffe2-era weights; record the reference's value
+    # in configs/reference_parity.yaml once the mount materializes).
+    legacy_plus1: bool = False
 
 
 @dataclass(frozen=True)

@@ -57,12 +57,14 @@ def postprocess_boxes(outputs: RCNNOutputs, im_hw: jnp.ndarray,
         if nbox == 2:  # class-agnostic
             dec = box_ops.bbox_transform_inv(
                 rois_i[:, None, :], deltas_i[:, 1:2, :],
-                cfg.model.bbox_reg_weights)
+                cfg.model.bbox_reg_weights,
+                legacy_plus1=cfg.model.legacy_plus1)
             dec = jnp.broadcast_to(dec, (r, k, 4))
         else:
             dec = box_ops.bbox_transform_inv(
                 rois_i[:, None, :], deltas_i, cfg.model.bbox_reg_weights)
-        dec = box_ops.clip_boxes(dec, hw)
+        dec = box_ops.clip_boxes(dec, hw,
+                                 legacy_plus1=cfg.model.legacy_plus1)
 
         # drop background column; flatten (R*(K-1),)
         fg_probs = probs_i[:, 1:]
@@ -96,18 +98,21 @@ def postprocess_boxes(outputs: RCNNOutputs, im_hw: jnp.ndarray,
                 cfg.test.detections_per_im,
                 method=cfg.test.soft_nms_method,
                 sigma=cfg.test.soft_nms_sigma,
-                score_thresh=cfg.test.score_thresh, valid=cand_valid)
+                score_thresh=cfg.test.score_thresh, valid=cand_valid,
+                legacy_plus1=cfg.model.legacy_plus1)
         else:
             idx, keep_valid, kept_scores = batched_nms(
                 cand_boxes, safe_scores, cand_cls, cfg.test.nms,
-                cfg.test.detections_per_im, valid=cand_valid)
+                cfg.test.detections_per_im, valid=cand_valid,
+                legacy_plus1=cfg.model.legacy_plus1)
         out_boxes = cand_boxes[idx]
         if cfg.test.bbox_vote_enabled:
             from ..ops.nms import box_voting
 
             out_boxes = box_voting(out_boxes, keep_valid, cand_boxes,
                                    jnp.maximum(safe_scores, 0.0),
-                                   cand_valid, cfg.test.bbox_vote_thresh)
+                                   cand_valid, cfg.test.bbox_vote_thresh,
+                                   legacy_plus1=cfg.model.legacy_plus1)
         return (out_boxes, kept_scores, cand_cls[idx],
                 keep_valid & (kept_scores > cfg.test.score_thresh))
 
@@ -141,12 +146,14 @@ def collect_candidates(outputs: RCNNOutputs, im_hw: jnp.ndarray,
         if nbox == 2:
             dec = box_ops.bbox_transform_inv(
                 rois_i[:, None, :], deltas_i[:, 1:2, :],
-                cfg.model.bbox_reg_weights)
+                cfg.model.bbox_reg_weights,
+                legacy_plus1=cfg.model.legacy_plus1)
             dec = jnp.broadcast_to(dec, (r, k, 4))
         else:
             dec = box_ops.bbox_transform_inv(
                 rois_i[:, None, :], deltas_i, cfg.model.bbox_reg_weights)
-        dec = box_ops.clip_boxes(dec, hw)
+        dec = box_ops.clip_boxes(dec, hw,
+                                 legacy_plus1=cfg.model.legacy_plus1)
         fg_probs = probs_i[:, 1:].reshape(-1)
         fg_boxes = dec[:, 1:, :].reshape(-1, 4)
         fg_cls = jnp.broadcast_to(
@@ -245,7 +252,8 @@ class Detector:
     def _merge_nms(self, boxes, scores, classes):
         return batched_nms(boxes, scores, classes, self.cfg.test.nms,
                            self.cfg.test.detections_per_im,
-                           valid=scores > -1e9)
+                           valid=scores > -1e9,
+                           legacy_plus1=self.cfg.model.legacy_plus1)
 
     @partial(jax.jit, static_argnums=(0,))
     def _mask_on_boxes(self, params, feats, boxes, classes):

@@ -155,10 +155,12 @@ class GeneralizedRCNN(nn.Module):
             dls = [d.astype(jnp.float32) for d in dls]
             if self.is_fpn:
                 return fpn_proposals(lgs, dls, anchors, hw, pre, post,
-                                     cfg.rpn.nms_thresh, cfg.rpn.min_size)
+                                     cfg.rpn.nms_thresh, cfg.rpn.min_size,
+                                     cfg.model.legacy_plus1)
             return single_scale_proposals(lgs[0], dls[0], anchors[0], hw,
                                           pre, post, cfg.rpn.nms_thresh,
-                                          cfg.rpn.min_size)
+                                          cfg.rpn.min_size,
+                                          cfg.model.legacy_plus1)
 
         proposals = jax.vmap(per_image)(logits, deltas, im_hw)
         return feats, logits, deltas, proposals

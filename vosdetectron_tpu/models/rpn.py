@@ -53,7 +53,8 @@ class Proposals(NamedTuple):
 def _level_proposals(logits: jnp.ndarray, deltas: jnp.ndarray,
                      anchors: jnp.ndarray, im_hw, pre_nms: int,
                      post_nms: int, nms_thresh: float,
-                     min_size: float) -> Proposals:
+                     min_size: float,
+                     legacy_plus1: bool = False) -> Proposals:
     """Single-level proposal generation (GenerateProposalsOp semantics).
 
     logits: (H, W, A); deltas: (H, W, 4A); anchors: (H*W*A, 4).
@@ -69,13 +70,15 @@ def _level_proposals(logits: jnp.ndarray, deltas: jnp.ndarray,
     top_anchors = anchors[top_idx]
 
     boxes = box_ops.bbox_transform_inv(top_anchors, top_deltas,
-                                       weights=(1.0, 1.0, 1.0, 1.0))
-    boxes = box_ops.clip_boxes(boxes, im_hw)
-    valid = box_ops.filter_small_boxes(boxes, min_size) if min_size > 0 \
-        else jnp.ones((k,), bool)
+                                       weights=(1.0, 1.0, 1.0, 1.0),
+                                       legacy_plus1=legacy_plus1)
+    boxes = box_ops.clip_boxes(boxes, im_hw, legacy_plus1=legacy_plus1)
+    valid = box_ops.filter_small_boxes(boxes, min_size, legacy_plus1) \
+        if min_size > 0 else jnp.ones((k,), bool)
 
     keep_idx, keep_valid, keep_scores = nms(
-        boxes, top_scores, nms_thresh, min(post_nms, k), valid=valid)
+        boxes, top_scores, nms_thresh, min(post_nms, k), valid=valid,
+        legacy_plus1=legacy_plus1)
     return Proposals(boxes[keep_idx], keep_scores, keep_valid)
 
 
@@ -83,7 +86,8 @@ def fpn_proposals(per_level_logits: Sequence[jnp.ndarray],
                   per_level_deltas: Sequence[jnp.ndarray],
                   per_level_anchors: Sequence[jnp.ndarray],
                   im_hw, pre_nms: int, post_nms: int, nms_thresh: float,
-                  min_size: float = 0.0) -> Proposals:
+                  min_size: float = 0.0,
+                  legacy_plus1: bool = False) -> Proposals:
     """FPN proposal collection (reference: collect_and_distribute_*).
 
     Per level: top-`pre_nms` -> decode -> clip -> NMS -> top-`post_nms`.
@@ -94,7 +98,7 @@ def fpn_proposals(per_level_logits: Sequence[jnp.ndarray],
     for lg, dl, an in zip(per_level_logits, per_level_deltas,
                           per_level_anchors):
         parts.append(_level_proposals(lg, dl, an, im_hw, pre_nms, post_nms,
-                                      nms_thresh, min_size))
+                                      nms_thresh, min_size, legacy_plus1))
     boxes = jnp.concatenate([p.boxes for p in parts])
     scores = jnp.concatenate([p.scores for p in parts])
     valid = jnp.concatenate([p.valid for p in parts])
@@ -107,10 +111,11 @@ def fpn_proposals(per_level_logits: Sequence[jnp.ndarray],
 def single_scale_proposals(logits: jnp.ndarray, deltas: jnp.ndarray,
                            anchors: jnp.ndarray, im_hw, pre_nms: int,
                            post_nms: int, nms_thresh: float,
-                           min_size: float = 0.0) -> Proposals:
+                           min_size: float = 0.0,
+                           legacy_plus1: bool = False) -> Proposals:
     """C4 path: one feature level (reference: generic_rpn_outputs)."""
     return _level_proposals(logits, deltas, anchors, im_hw, pre_nms,
-                            post_nms, nms_thresh, min_size)
+                            post_nms, nms_thresh, min_size, legacy_plus1)
 
 
 def rpn_losses(logits: jnp.ndarray, deltas: jnp.ndarray,

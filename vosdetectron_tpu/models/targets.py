@@ -73,7 +73,8 @@ def rpn_targets(key, anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
     """
     r = cfg.rpn
     n = anchors.shape[0]
-    iou = box_ops.pairwise_iou(anchors, gt_boxes)  # (N, G)
+    iou = box_ops.pairwise_iou(anchors, gt_boxes,
+                               legacy_plus1=cfg.model.legacy_plus1)  # (N, G)
     iou = jnp.where(gt_valid[None, :], iou, 0.0)
 
     max_iou = iou.max(axis=1)
@@ -100,7 +101,8 @@ def rpn_targets(key, anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
 
     labels = jnp.where(fg, 1, jnp.where(bg, 0, -1))
     matched = gt_boxes[argmax_gt]
-    tgts = box_ops.bbox_transform(anchors, matched, (1.0, 1.0, 1.0, 1.0))
+    tgts = box_ops.bbox_transform(anchors, matched, (1.0, 1.0, 1.0, 1.0),
+                                  legacy_plus1=cfg.model.legacy_plus1)
     tgts = jnp.where(fg[:, None], tgts, 0.0)
     return RPNTargets(labels.astype(jnp.int32), tgts)
 
@@ -121,7 +123,8 @@ def sample_rois(key, proposals: jnp.ndarray, prop_valid: jnp.ndarray,
     all_boxes = jnp.concatenate([proposals, gt_boxes], axis=0)
     all_valid = jnp.concatenate([prop_valid, gt_valid], axis=0)
 
-    iou = box_ops.pairwise_iou(all_boxes, gt_boxes)
+    iou = box_ops.pairwise_iou(all_boxes, gt_boxes,
+                               legacy_plus1=cfg.model.legacy_plus1)
     iou = jnp.where(gt_valid[None, :], iou, 0.0)
     max_iou = jnp.where(all_valid, iou.max(axis=1), 0.0)
     argmax_gt = iou.argmax(axis=1)
@@ -150,7 +153,8 @@ def sample_rois(key, proposals: jnp.ndarray, prop_valid: jnp.ndarray,
     midx = argmax_gt[take]
     labels = jnp.where(sel_fg, gt_classes[midx], 0)
     tgts = box_ops.bbox_transform(rois, gt_boxes[midx],
-                                  cfg.model.bbox_reg_weights)
+                                  cfg.model.bbox_reg_weights,
+                                  legacy_plus1=cfg.model.legacy_plus1)
     tgts = jnp.where(sel_fg[:, None], tgts, 0.0)
     return SampledRoIs(rois, labels.astype(jnp.int32), tgts, sel_valid,
                        sel_fg, midx.astype(jnp.int32))

@@ -43,14 +43,18 @@ def pairwise_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
 
 
 def bbox_transform_inv(boxes: jnp.ndarray, deltas: jnp.ndarray,
-                       weights=(10.0, 10.0, 5.0, 5.0)) -> jnp.ndarray:
+                       weights=(10.0, 10.0, 5.0, 5.0),
+                       legacy_plus1: bool = False) -> jnp.ndarray:
     """Apply regression deltas to boxes (reference: boxes.py::bbox_transform).
 
     boxes: (..., 4) xyxy; deltas: (..., 4) (dx, dy, dw, dh) scaled by weights.
+    legacy_plus1 reproduces original Detectron integer-box semantics
+    (width = x2 - x1 + 1, predicted x2 = ctr + 0.5w - 1).
     """
+    off = 1.0 if legacy_plus1 else 0.0
     wx, wy, ww, wh = weights
-    widths = boxes[..., 2] - boxes[..., 0]
-    heights = boxes[..., 3] - boxes[..., 1]
+    widths = boxes[..., 2] - boxes[..., 0] + off
+    heights = boxes[..., 3] - boxes[..., 1] + off
     ctr_x = boxes[..., 0] + 0.5 * widths
     ctr_y = boxes[..., 1] + 0.5 * heights
 
@@ -67,22 +71,24 @@ def bbox_transform_inv(boxes: jnp.ndarray, deltas: jnp.ndarray,
     return jnp.stack([
         pred_ctr_x - 0.5 * pred_w,
         pred_ctr_y - 0.5 * pred_h,
-        pred_ctr_x + 0.5 * pred_w,
-        pred_ctr_y + 0.5 * pred_h,
+        pred_ctr_x + 0.5 * pred_w - off,
+        pred_ctr_y + 0.5 * pred_h - off,
     ], axis=-1)
 
 
 def bbox_transform(boxes: jnp.ndarray, gt_boxes: jnp.ndarray,
-                   weights=(10.0, 10.0, 5.0, 5.0)) -> jnp.ndarray:
+                   weights=(10.0, 10.0, 5.0, 5.0),
+                   legacy_plus1: bool = False) -> jnp.ndarray:
     """Regression targets from boxes to gt (reference: bbox_transform_inv)."""
+    off = 1.0 if legacy_plus1 else 0.0
     wx, wy, ww, wh = weights
-    ex_w = jnp.maximum(boxes[..., 2] - boxes[..., 0], 1e-6)
-    ex_h = jnp.maximum(boxes[..., 3] - boxes[..., 1], 1e-6)
+    ex_w = jnp.maximum(boxes[..., 2] - boxes[..., 0] + off, 1e-6)
+    ex_h = jnp.maximum(boxes[..., 3] - boxes[..., 1] + off, 1e-6)
     ex_cx = boxes[..., 0] + 0.5 * ex_w
     ex_cy = boxes[..., 1] + 0.5 * ex_h
 
-    gt_w = jnp.maximum(gt_boxes[..., 2] - gt_boxes[..., 0], 1e-6)
-    gt_h = jnp.maximum(gt_boxes[..., 3] - gt_boxes[..., 1], 1e-6)
+    gt_w = jnp.maximum(gt_boxes[..., 2] - gt_boxes[..., 0] + off, 1e-6)
+    gt_h = jnp.maximum(gt_boxes[..., 3] - gt_boxes[..., 1] + off, 1e-6)
     gt_cx = gt_boxes[..., 0] + 0.5 * gt_w
     gt_cy = gt_boxes[..., 1] + 0.5 * gt_h
 
@@ -94,9 +100,12 @@ def bbox_transform(boxes: jnp.ndarray, gt_boxes: jnp.ndarray,
     ], axis=-1)
 
 
-def clip_boxes(boxes: jnp.ndarray, im_hw) -> jnp.ndarray:
-    """Clip xyxy boxes to [0, W] x [0, H] (reference: clip_tiled_boxes)."""
-    h, w = im_hw[0], im_hw[1]
+def clip_boxes(boxes: jnp.ndarray, im_hw,
+               legacy_plus1: bool = False) -> jnp.ndarray:
+    """Clip xyxy boxes to the image (reference: clip_tiled_boxes —
+    legacy clips to w-1/h-1, the integer-box convention)."""
+    off = 1.0 if legacy_plus1 else 0.0
+    h, w = im_hw[0] - off, im_hw[1] - off
     x1 = jnp.clip(boxes[..., 0], 0.0, w)
     y1 = jnp.clip(boxes[..., 1], 0.0, h)
     x2 = jnp.clip(boxes[..., 2], 0.0, w)
@@ -104,10 +113,12 @@ def clip_boxes(boxes: jnp.ndarray, im_hw) -> jnp.ndarray:
     return jnp.stack([x1, y1, x2, y2], axis=-1)
 
 
-def filter_small_boxes(boxes: jnp.ndarray, min_size: float) -> jnp.ndarray:
+def filter_small_boxes(boxes: jnp.ndarray, min_size: float,
+                       legacy_plus1: bool = False) -> jnp.ndarray:
     """Validity mask for boxes with both sides >= min_size."""
-    w = boxes[..., 2] - boxes[..., 0]
-    h = boxes[..., 3] - boxes[..., 1]
+    off = 1.0 if legacy_plus1 else 0.0
+    w = boxes[..., 2] - boxes[..., 0] + off
+    h = boxes[..., 3] - boxes[..., 1] + off
     return (w >= min_size) & (h >= min_size)
 
 

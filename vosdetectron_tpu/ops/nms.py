@@ -101,7 +101,8 @@ def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
              max_out: int, method: str = "linear",
              iou_thresh: float = 0.3, sigma: float = 0.5,
              score_thresh: float = 0.001,
-             valid: jnp.ndarray | None = None
+             valid: jnp.ndarray | None = None,
+             legacy_plus1: bool = False
              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Soft-NMS (reference: cython_nms.pyx::soft_nms).
 
@@ -114,7 +115,7 @@ def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     n = boxes.shape[0]
     v = jnp.ones((n,), bool) if valid is None else valid
     s = jnp.where(v, scores, NEG_INF)
-    iou = pairwise_iou(boxes, boxes)
+    iou = pairwise_iou(boxes, boxes, legacy_plus1=legacy_plus1)
 
     def body(carry, _):
         s_live, taken = carry
@@ -139,11 +140,13 @@ def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
 def box_voting(kept_boxes: jnp.ndarray, kept_valid: jnp.ndarray,
                pool_boxes: jnp.ndarray, pool_scores: jnp.ndarray,
                pool_valid: jnp.ndarray, thresh: float,
-               scoring: str = "id") -> jnp.ndarray:
+               scoring: str = "id",
+               legacy_plus1: bool = False) -> jnp.ndarray:
     """Box voting (reference: utils/boxes.py::box_voting): each kept box is
     replaced by the score-weighted average of pool boxes with IoU >= thresh.
     Fully traced, fixed shape."""
-    iou = pairwise_iou(kept_boxes, pool_boxes)  # (K, P)
+    iou = pairwise_iou(kept_boxes, pool_boxes,
+                       legacy_plus1=legacy_plus1)  # (K, P)
     w = jnp.where((iou >= thresh) & pool_valid[None, :],
                   jnp.maximum(pool_scores, 1e-6)[None, :], 0.0)
     num = w @ pool_boxes  # (K, 4)
@@ -154,11 +157,13 @@ def box_voting(kept_boxes: jnp.ndarray, kept_valid: jnp.ndarray,
 
 def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
                 class_ids: jnp.ndarray, iou_thresh: float,
-                max_out: int, valid: jnp.ndarray | None = None
+                max_out: int, valid: jnp.ndarray | None = None,
+                legacy_plus1: bool = False
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-class NMS via the coordinate-offset trick (boxes of different
     classes never overlap), replacing the reference's per-class Python loop
     in box_results_with_nms_and_limit with ONE traced NMS call."""
     max_coord = jnp.max(boxes) + 1.0
     offsets = class_ids.astype(boxes.dtype)[:, None] * max_coord
-    return nms(boxes + offsets, scores, iou_thresh, max_out, valid=valid)
+    return nms(boxes + offsets, scores, iou_thresh, max_out, valid=valid,
+               legacy_plus1=legacy_plus1)
