@@ -47,26 +47,41 @@ def main():
     key = jax.random.PRNGKey(int(trainer.state.step))
     it = iter(loader)
     ctx = mesh if mesh is not None else _nullcontext()
-    with ctx:
-        for step in range(int(trainer.state.step), cfg.solver.max_iter):
-            images, im_hw, gt_np = next(it)
-            key, sub = jax.random.split(key)
-            gt = GroundTruth(jnp.asarray(gt_np["boxes"]),
-                             jnp.asarray(gt_np["classes"]),
-                             jnp.asarray(gt_np["masks"]),
-                             jnp.asarray(gt_np["valid"]))
-            imgs = jnp.asarray(images)
-            hw = jnp.asarray(im_hw)
-            if mesh is not None:
-                imgs, hw = shard_batch(mesh, (imgs, hw))
-                gt = GroundTruth(*shard_batch(mesh, tuple(gt)))
-            losses = trainer.train_step(sub, imgs, hw, gt)
-            stats.log(step, {k: float(v) for k, v in losses.items()},
-                      cfg.solver.max_iter)
-            if (step + 1) % cfg.train.snapshot_iters == 0 \
-                    or step + 1 == cfg.solver.max_iter:
-                trainer.save(args.out)
-                print(f"saved checkpoint at step {step + 1}")
+    try:
+        with ctx:
+            for step in range(int(trainer.state.step), cfg.solver.max_iter):
+                images, im_hw, gt_np = next(it)
+                key, sub = jax.random.split(key)
+                gt = GroundTruth(jnp.asarray(gt_np["boxes"]),
+                                 jnp.asarray(gt_np["classes"]),
+                                 jnp.asarray(gt_np["masks"]),
+                                 jnp.asarray(gt_np["valid"]))
+                imgs = jnp.asarray(images)
+                hw = jnp.asarray(im_hw)
+                if mesh is not None:
+                    imgs, hw = shard_batch(mesh, (imgs, hw))
+                    gt = GroundTruth(*shard_batch(mesh, tuple(gt)))
+                losses = trainer.train_step(sub, imgs, hw, gt)
+                stats.log(step, {k: float(v) for k, v in losses.items()},
+                          cfg.solver.max_iter)
+                if (step + 1) % cfg.train.snapshot_iters == 0 \
+                        or step + 1 == cfg.solver.max_iter:
+                    trainer.save(args.out)
+                    print(f"saved checkpoint at step {step + 1}")
+    except (Exception, KeyboardInterrupt):
+        # Emergency snapshot on crash/interrupt so --resume restarts from
+        # the dying step (reference: train_net_step.py catches exceptions
+        # and save_ckpt's before re-raising).
+        import traceback
+
+        traceback.print_exc()
+        try:
+            trainer.save(args.out)
+            print(f"EMERGENCY checkpoint saved to {args.out} at step "
+                  f"{int(trainer.state.step)} — resume with --resume")
+        except Exception as save_err:  # noqa: BLE001
+            print(f"emergency checkpoint failed: {save_err}")
+        raise
 
 
 class _nullcontext:

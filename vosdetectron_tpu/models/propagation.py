@@ -230,8 +230,11 @@ class PropagationHead(nn.Module):
         cf = self.corr_feat(ch)
 
         def l2n(x):
-            return x / jnp.maximum(
-                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-6)
+            # smooth normalization: x/max(||x||, eps) has a NaN GRADIENT at
+            # exactly-zero vectors (the image-padding region produces them),
+            # x * rsqrt(||x||^2 + eps) does not.
+            return x * jax.lax.rsqrt(
+                (x * x).sum(axis=-1, keepdims=True) + 1e-8)
 
         corr = local_correlation(l2n(pf), l2n(cf), self.corr_radius)
         h = nn.relu(self.flow1(jnp.concatenate([corr, ch], axis=-1)))

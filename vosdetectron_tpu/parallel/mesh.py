@@ -47,8 +47,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host pytree with its leading axis sharded over the mesh."""
+    """Place a host pytree with its leading axis sharded over the mesh.
+
+    Single-process: plain device_put with a NamedSharding. Multi-HOST
+    (jax.distributed): each process passes its LOCAL portion of the batch
+    (leading axis = global/num_processes) and the global array is
+    assembled from per-process shards — the multi-host data-feeding path
+    of workload 5."""
     s = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, s), batch)
 
