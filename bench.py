@@ -51,6 +51,10 @@ def main():
         ("test.padded_image_size", (512, 896)),
         ("test.detections_per_im", 32),   # VOS budget (<=10 objs/seq)
         ("rpn.post_nms_top_n_test", 300),
+        # filter sub-4px sliver proposals (TEST.RPN_MIN_SIZE); slivers span
+        # hundreds of feature px at their assigned FPN level and would
+        # otherwise route through the RoIAlign kernel's exact-path bucket
+        ("rpn.min_size", 4.0),
         ("fast_rcnn.roi_xform_method", "roi_align_pallas"),
         ("vos.render_scale_den", 2),   # shrink device->host idmap transfer
         ("data.davis_root", davis_root),

@@ -1,0 +1,28 @@
+"""Every shipped YAML config must load and validate (reference: the
+configs/baselines model zoo loading through merge_cfg_from_file)."""
+
+import glob
+import os
+
+import pytest
+
+from vosdetectron_tpu.config import load_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+YAMLS = sorted(glob.glob(os.path.join(REPO, "configs", "**", "*.yaml"),
+                         recursive=True))
+
+
+@pytest.mark.parametrize("path", YAMLS, ids=[os.path.basename(p)
+                                             for p in YAMLS])
+def test_config_loads_and_validates(path):
+    cfg = load_config(path)
+    assert cfg.model.num_classes >= 2
+
+
+def test_zoo_covers_architectures():
+    names = [os.path.basename(p) for p in YAMLS]
+    assert any("R-50-C4" in n for n in names)
+    assert any("R-50-FPN" in n for n in names)
+    assert any("R-101" in n for n in names)
+    assert any(n.startswith("vos_") for n in names)

@@ -32,13 +32,13 @@ def test_interp_operator_reproduces_bilinear_sampling(rng):
     oy = np.array([16], np.int32)
     ox = np.array([16], np.int32)
     ay = np.asarray(_interp_operator(jnp.asarray(y1), jnp.asarray(rh), h,
-                                     jnp.asarray(oy), 7, 2))[0]
+                                     jnp.asarray(oy), 7, 2, WINDOW))[0]
     ax = np.asarray(_interp_operator(jnp.asarray(x1), jnp.asarray(rw), w,
-                                     jnp.asarray(ox), 7, 2))[0]
+                                     jnp.asarray(ox), 7, 2, WINDOW))[0]
     win = feat[16:16 + WINDOW, 16:16 + WINDOW]
-    out = np.einsum("iw,whc->ihc", ay, win)
-    out = np.einsum("jh,ihc->ijc", ax, out)
-    out = out.reshape(7, 2, 7, 2, 4).mean(axis=(1, 3))
+    # operators have the sampling-ratio pool folded in: out = Ay win Ax^T
+    out = np.einsum("iy,yxc->ixc", ay, win)
+    out = np.einsum("jx,ixc->ijc", ax, out)
     want = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois),
                                 scale, 7, 2))[0]
     np.testing.assert_allclose(out, want, atol=1e-4)
@@ -51,7 +51,7 @@ def test_interp_operator_rows_sum_to_one_inside(rng):
     size = jnp.asarray(np.array([20.0], np.float32))
     a = np.asarray(_interp_operator(lo, size, 128,
                                     jnp.asarray(np.array([8], np.int32)),
-                                    7, 2))[0]
+                                    7, 2, 64))[0]
     np.testing.assert_allclose(a.sum(axis=1), 1.0, atol=1e-5)
 
 

@@ -76,17 +76,27 @@ def read_image_bgr(path: str) -> np.ndarray:
     return im
 
 
+def _io_threads(requested: int) -> int:
+    """Clamp IO parallelism to the machine: oversubscribing a small host
+    with decode threads causes GIL/scheduler thrash (measured on a 1-core
+    host: 8-thread decode is 6-17x SLOWER than serial)."""
+    return max(1, min(requested, os.cpu_count() or 1))
+
+
 def read_sequence_frames(seq: "DavisSequence",
                          num_threads: int = 8) -> np.ndarray:
     """Decode all frames of a sequence in parallel (cv2 drops the GIL).
 
     The reference decodes frame-by-frame inside its per-frame loop
     (SURVEY.md §3.3); batched threaded decode keeps the host ahead of the
-    TPU scan.
+    TPU scan. Thread count is clamped to the host's cores.
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=num_threads) as ex:
+    nt = _io_threads(num_threads)
+    if nt == 1:
+        return np.stack([read_image_bgr(p) for p in seq.frame_paths])
+    with ThreadPoolExecutor(max_workers=nt) as ex:
         frames = list(ex.map(read_image_bgr, seq.frame_paths))
     return np.stack(frames)
 
@@ -102,7 +112,12 @@ def write_sequence_pngs(out_dir: str, idmaps, num_threads: int = 8) -> None:
         i, m = i_m
         write_indexed_png(os.path.join(out_dir, f"{i:05d}.png"), m)
 
-    with ThreadPoolExecutor(max_workers=num_threads) as ex:
+    nt = _io_threads(num_threads)
+    if nt == 1:
+        for im in enumerate(idmaps):
+            _write(im)
+        return
+    with ThreadPoolExecutor(max_workers=nt) as ex:
         list(ex.map(_write, enumerate(idmaps)))
 
 

@@ -79,7 +79,8 @@ def _level_proposals(logits: jnp.ndarray, deltas: jnp.ndarray,
     keep_idx, keep_valid, keep_scores = nms(
         boxes, top_scores, nms_thresh, min(post_nms, k), valid=valid,
         legacy_plus1=legacy_plus1)
-    return Proposals(boxes[keep_idx], keep_scores, keep_valid)
+    keep_boxes = jnp.where(keep_valid[:, None], boxes[keep_idx], 0.0)
+    return Proposals(keep_boxes, keep_scores, keep_valid)
 
 
 def fpn_proposals(per_level_logits: Sequence[jnp.ndarray],
@@ -105,7 +106,12 @@ def fpn_proposals(per_level_logits: Sequence[jnp.ndarray],
 
     masked = jnp.where(valid, scores, -jnp.inf)
     top_scores, idx = jax.lax.top_k(masked, post_nms)
-    return Proposals(boxes[idx], top_scores, jnp.isfinite(top_scores))
+    keep_valid = jnp.isfinite(top_scores)
+    # zero the padded slots' boxes: they are excluded from sampling and
+    # scoring anyway, and garbage coords (e.g. filtered slivers) would
+    # otherwise still cost RoIAlign work downstream
+    keep_boxes = jnp.where(keep_valid[:, None], boxes[idx], 0.0)
+    return Proposals(keep_boxes, top_scores, keep_valid)
 
 
 def single_scale_proposals(logits: jnp.ndarray, deltas: jnp.ndarray,

@@ -7,28 +7,41 @@ by BASELINE.json north_star.
 
 Design (why this is NOT a gather kernel):
   * FPN level assignment bounds every RoI's *feature-space* footprint:
-    level k gets sqrt(wh)/2^k in [14, 28), so even extreme aspect ratios
-    fit inside a fixed WINDOW x WINDOW (default 64) feature patch.
+    level k gets sqrt(wh)/2^k in [14, 28), so typical RoIs fit inside a
+    fixed (WY x WX) feature window at their assigned level.
   * RoIAlign is bilinear resampling on an axis-aligned grid => SEPARABLE.
     For each RoI we precompute thin interpolation operators
-    Ay, Ax: (P*s, WINDOW) — 2 nonzeros per row, bilinear weights, with
-    zero rows for out-of-image samples — in plain jnp (same math as
-    ops/roi_align.py, so semantics stay testable outside the kernel).
-  * The kernel then is: double-buffered async DMA of each RoI's window
-    (HBM -> VMEM) overlapped with two small matmuls on the MXU:
+    Ay: (P, WY), Ax: (P, WX) — bilinear weight pairs, zero rows for
+    out-of-image samples — in plain jnp (same math as ops/roi_align.py, so
+    semantics stay testable outside the kernel). The sampling-ratio
+    average pool is LINEAR and separable, so it is folded into the
+    operators (Ay' = Pool @ Ay), which shrinks the in-kernel matmuls and
+    removes all pooling reshapes.
+  * The kernel is: pipelined async DMA of each RoI's window (HBM -> VMEM,
+    4 deep) overlapped with two small matmuls on the MXU:
 
-        out_n = avgpool_s( Ay_n @ window_n @ Ax_n^T )
+        out_n = Ay'_n @ window_n @ Ax'_n^T
 
-    No gathers, no scatter, no scalar loops — the irregular memory access
-    is reduced to ONE strided DMA per RoI.
-  * Multi-level: per-level kernels invoked on level-partitioned RoIs
-    (partitioning is a cheap argsort outside).
+    expressed as dot_generals whose contraction axis is the rhs SUBLANE
+    dim at every step — the natural MXU layout — so Mosaic emits zero
+    vector relayouts. No gathers, no scatter, no scalar loops — the
+    irregular memory access is reduced to ONE strided DMA per RoI.
+  * Multi-level: all pyramid levels are concatenated row-wise into ONE
+    x-padded HBM atlas, and each RoI's window origin is a GLOBAL atlas
+    row (level offset + image offset + local row). The kernel therefore
+    has a single unpredicated DMA source — an earlier draft selected one
+    of 4 level refs with @pl.when branches, which cost ~9 us/roi in
+    scalar-core predication; the atlas removes that entirely (measured
+    2.6 us/roi end-to-end, ~8x over the predicated kernel).
+  * Out-of-window RoIs (extreme aspect ratios): compacted into a fixed
+    OVERSIZE_CAP bucket and recomputed with the exact XLA gather path on
+    the same atlas (rois y-shifted by image offset), then scattered back.
+    Only if the bucket overflows does a lax.cond full-exact fallback run.
 
-The backward pass reuses the same structure via jax.custom_vjp: dWindow =
-Ay^T @ g @ Ax is scattered back with one DMA-accumulate per RoI — but since
-XLA's scatter-add VJP of the jnp path is only used in training (workload 4,
-batch-bound), we default the VJP to the jnp reference implementation for
-exactness and keep the Pallas path for the inference hot loop.
+The backward pass: XLA's scatter-add VJP of the jnp path is only used in
+training (workload 4, batch-bound), so the VJP defaults to the jnp
+reference implementation for exactness; the Pallas path serves the
+inference hot loop.
 """
 
 from __future__ import annotations
@@ -42,15 +55,26 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..roi_align import _bilinear_1d, _sample_coords_1d, roi_align
+from ..roi_align import (_bilinear_1d, _sample_coords_1d,
+                         fpn_level_assignment, roi_align, roi_align_pyramid)
 
-WINDOW = 64
+WINDOW = 64           # single-level (C4) window: stride-16 rois span more
+PYRAMID_WY = 40       # rh + ~3 slack  <= 40 covers aspect <= ~1.75 at max
+PYRAMID_WX = 48       # rw + ~11 slack <= 48 (8-aligned origin) likewise
+CBLOCK = 128          # lane-dim block; doubled to 256 when C allows
+OVERSIZE_CAP = 384    # compact-bucket size for exact-path rerouting
+                      # (untrained RPNs emit long sliver boxes whose span
+                      # at their assigned level exceeds any window; ~5% of
+                      # proposals in the from-scratch bench regime)
+DEPTH = 4             # DMA pipeline depth
 
 
 def _interp_operator(lo: jnp.ndarray, size: jnp.ndarray, dim: int,
                      origin: jnp.ndarray, pooled: int,
-                     sampling_ratio: int) -> jnp.ndarray:
-    """Per-roi thin interpolation matrix A: (P*s, WINDOW), window-relative.
+                     sampling_ratio: int, window: int) -> jnp.ndarray:
+    """Per-roi thin interpolation matrix A: (P, window), window-relative,
+    with the sampling-ratio average pool already folded in (the pool is
+    linear and separable, so out = (P@Ay) win (P@Ax)^T exactly).
 
     lo/size: (N,) roi start/extent in feature coords; origin: (N,) int32
     window start. Rows are bilinear weight pairs; samples outside the real
@@ -63,43 +87,46 @@ def _interp_operator(lo: jnp.ndarray, size: jnp.ndarray, dim: int,
     # window-relative columns; clamp into window. Correct for in-spec rois;
     # rois whose samples would clamp are detected by _window_exceeded and
     # routed to the exact XLA path by the kernel wrappers.
-    c0 = jnp.clip(i0 - origin[:, None], 0, WINDOW - 1)
-    c1 = jnp.clip(i1 - origin[:, None], 0, WINDOW - 1)
-    cols = jnp.arange(WINDOW)[None, None, :]
+    c0 = jnp.clip(i0 - origin[:, None], 0, window - 1)
+    c1 = jnp.clip(i1 - origin[:, None], 0, window - 1)
+    cols = jnp.arange(window)[None, None, :]
     a = (jnp.where(cols == c0[:, :, None], w0[:, :, None], 0.0)
          + jnp.where(cols == c1[:, :, None], w1[:, :, None], 0.0))
-    return a  # (N, P*s, WINDOW)
+    n = a.shape[0]
+    # fold avg pool over each pooled cell's s samples: (N, P*s, W)->(N, P, W)
+    return a.reshape(n, pooled, sampling_ratio, window).mean(axis=2)
 
 
 def _window_exceeded(lo: jnp.ndarray, size: jnp.ndarray, dim,
                      origin: jnp.ndarray, pooled: int,
-                     sampling_ratio: int) -> jnp.ndarray:
+                     sampling_ratio: int, window: int) -> jnp.ndarray:
     """(N,) bool: does any in-image sample of this RoI fall outside its
-    WINDOW? Mirrors _interp_operator's clamp condition exactly — True
+    window? Mirrors _interp_operator's clamp condition exactly — True
     means the clamped kernel output would be silently wrong for this RoI
     and the caller must route it to the exact XLA path."""
     coords = _sample_coords_1d(lo, size, pooled, sampling_ratio)
     i0, i1, w0, w1, inside = _bilinear_1d(coords, dim)
     c0 = i0 - origin[:, None]
     c1 = i1 - origin[:, None]
-    bad0 = inside & (w0 > 0) & ((c0 < 0) | (c0 > WINDOW - 1))
-    bad1 = inside & (w1 > 0) & ((c1 < 0) | (c1 > WINDOW - 1))
+    bad0 = inside & (w0 > 0) & ((c0 < 0) | (c0 > window - 1))
+    bad1 = inside & (w1 > 0) & ((c1 < 0) | (c1 > window - 1))
     return (bad0 | bad1).any(axis=1)
 
 
-CBLOCK = 128
-
-
 def _kernel(origins_ref, ay_ref, ax_ref, feat_hbm, out_ref, win_buf, sems,
-            *, pooled: int, sampling_ratio: int, h: int, w: int):
+            *, wy: int, wx: int, cblock: int):
+    """One RoI per grid step: pipelined window DMA + two dot_generals.
+
+    out = ay @ win @ ax^T with contractions over the rhs sublane dim
+    (batch dim outer) — the layouts Mosaic lowers without relayouts.
+    """
     i = pl.program_id(0)          # roi index
     ci = pl.program_id(1)         # channel block
     nc = pl.num_programs(1)
     ni = pl.num_programs(0)
     flat = i * nc + ci
     total = ni * nc
-    slot = jax.lax.rem(flat, 2)
-    nxt = jax.lax.rem(flat + 1, 2)
+    slot = jax.lax.rem(flat, DEPTH)
 
     def dma(fl, s):
         ri = fl // nc
@@ -108,53 +135,98 @@ def _kernel(origins_ref, ay_ref, ax_ref, feat_hbm, out_ref, win_buf, sems,
         # x (sublane dim of the HBM tiling) starts are pre-aligned to 8 by
         # the caller; the hint lets Mosaic prove slice validity.
         x0 = pl.multiple_of(origins_ref[1, ri], 8)
-        c0 = pl.multiple_of(rc * CBLOCK, CBLOCK)
+        c0 = pl.multiple_of(rc * cblock, cblock)
         return pltpu.make_async_copy(
-            feat_hbm.at[pl.ds(y0, WINDOW), pl.ds(x0, WINDOW),
-                        pl.ds(c0, CBLOCK)],
+            feat_hbm.at[pl.ds(y0, wy), pl.ds(x0, wx), pl.ds(c0, cblock)],
             win_buf.at[s],
             sems.at[s],
         )
 
     @pl.when(flat == 0)
     def _():
-        dma(0, 0).start()
+        for d in range(DEPTH - 1):
+            @pl.when(d < total)
+            def _(d=d):
+                dma(d, d).start()
 
-    @pl.when(flat + 1 < total)
+    @pl.when(flat + DEPTH - 1 < total)
     def _():
-        dma(flat + 1, nxt).start()
+        dma(flat + DEPTH - 1, jax.lax.rem(flat + DEPTH - 1, DEPTH)).start()
 
     dma(flat, slot).wait()
 
-    ps = pooled * sampling_ratio
-    win2d = win_buf[slot].reshape(WINDOW, WINDOW * CBLOCK)
-    ay = ay_ref[0]  # (ps, WINDOW)
-    ax = ax_ref[0]
-    t1 = jnp.dot(ay, win2d, preferred_element_type=jnp.float32)
-    t1 = t1.reshape(ps, WINDOW, CBLOCK)
-    # contract over the window-x axis: (ps_j, W) x (ps_i, W, c) -> (j, i, c)
-    t2 = jax.lax.dot_general(ax, t1, (((1,), (1,)), ((), ())),
+    win = win_buf[slot]           # (wy, wx, cblock)
+    # (P_j, wx) x (wy, wx, C) -> (P_j, wy, C): contraction over sublane dim
+    s1 = jax.lax.dot_general(ax_ref[0], win, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    t2 = t2.transpose(1, 0, 2)  # (i, j, c)
-    s = sampling_ratio
-    out = t2.reshape(pooled, s, pooled, s, CBLOCK).mean(axis=(1, 3))
-    out_ref[0] = out
+    # (P_i, wy) x (P_j, wy, C) -> (P_i, P_j, C)
+    out_ref[0] = jax.lax.dot_general(ay_ref[0], s1.astype(ax_ref.dtype),
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+
+def _run_window_kernel(origins, ay, ax, atlas, pooled: int, wy: int,
+                       wx: int, interpret: bool) -> jnp.ndarray:
+    """Invoke the window kernel: origins (2, N) int32 global (row, col);
+    ay (N, P, wy), ax (N, P, wx) in atlas dtype; atlas (H, W, C)."""
+    n = ay.shape[0]
+    c = atlas.shape[-1]
+    cblock = 256 if c % 256 == 0 else CBLOCK
+    assert c % cblock == 0, f"C={c} must be a multiple of {cblock}"
+    nc = c // cblock
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, nc),
+        in_specs=[
+            pl.BlockSpec((1, pooled, wy), lambda i, ci, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pooled, wx), lambda i, ci, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # atlas stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, pooled, pooled, cblock),
+                               lambda i, ci, o: (i, 0, 0, ci),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((DEPTH, wy, wx, cblock), atlas.dtype),
+            pltpu.SemaphoreType.DMA((DEPTH,)),
+        ],
+    )
+    kernel = functools.partial(_kernel, wy=wy, wx=wx, cblock=cblock)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, pooled, pooled, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1.5 * (DEPTH * wy * wx * cblock
+                                        * atlas.dtype.itemsize
+                                        + pooled * (wy + wx) * 4
+                                        + pooled * pooled * cblock * 4)
+                                 + 2 * 2**20),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * pooled * c * wy * (wx + pooled),
+            bytes_accessed=n * wy * wx * c * atlas.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(origins, ay, ax, atlas)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("spatial_scale", "pooled",
-                                    "sampling_ratio", "interpret"))
+                                    "sampling_ratio", "interpret", "window"))
 def roi_align_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
                      spatial_scale: float, pooled: int,
                      sampling_ratio: int = 2,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     window: int = WINDOW) -> jnp.ndarray:
     """Single-level Pallas RoIAlign, Caffe2 semantics (aligned=False).
 
     feat: (H, W, C) — C a multiple of 128 (bf16 or f32); rois: (N, 4)
     image-coord xyxy. Returns (N, pooled, pooled, C) float32.
     """
     h, w, c = feat.shape
-    n = rois.shape[0]
     x1 = rois[:, 0] * spatial_scale
     y1 = rois[:, 1] * spatial_scale
     x2 = rois[:, 2] * spatial_scale
@@ -162,146 +234,45 @@ def roi_align_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
     rw = jnp.maximum(x2 - x1, 1.0)
     rh = jnp.maximum(y2 - y1, 1.0)
 
-    # Window origin: floor(start) - 1, clamped so the window stays in-map
-    # (feature maps are padded-image /stride, always >= WINDOW for the
-    # levels we target; callers pad smaller maps).
+    # Window origin: floor(start) - 1, clamped so the window stays in-map;
+    # callers' maps smaller than the window are padded below.
+    pady = max(window - h, 0)
+    padx = max(window - w, 0)
+    if pady or padx:
+        feat = jnp.pad(feat, ((0, pady), (0, padx), (0, 0)))
     oy = jnp.clip(jnp.floor(y1).astype(jnp.int32) - 1, 0,
-                  max(h - WINDOW, 0))
+                  max(h + pady - window, 0))
     ox = jnp.clip(jnp.floor(x1).astype(jnp.int32) - 1, 0,
-                  max(w - WINDOW, 0))
+                  max(w + padx - window, 0))
     # The W axis is the sublane dim of the (8, 128)-tiled HBM layout: DMA
-    # slice starts must be 8-aligned. Floor-align (window retains >= 57px
-    # of right coverage — in-spec FPN rois span < 50 feature px).
+    # slice starts must be 8-aligned; floor-align costs <= 7 px of window.
     ox = (ox // 8) * 8
     origins = jnp.stack([oy, ox], axis=0)
 
-    ay = _interp_operator(y1, rh, h, oy, pooled, sampling_ratio)
-    ax = _interp_operator(x1, rw, w, ox, pooled, sampling_ratio)
-    ay = ay.astype(feat.dtype)
-    ax = ax.astype(feat.dtype)
+    ay = _interp_operator(y1, rh, h, oy, pooled, sampling_ratio, window)
+    ax = _interp_operator(x1, rw, w, ox, pooled, sampling_ratio, window)
 
-    ps = pooled * sampling_ratio
-    assert c % CBLOCK == 0, f"C={c} must be a multiple of {CBLOCK}"
-    nc = c // CBLOCK
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n, nc),
-        in_specs=[
-            pl.BlockSpec((1, ps, WINDOW), lambda i, ci, o: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ps, WINDOW), lambda i, ci, o: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # feat stays in HBM
-        ],
-        out_specs=pl.BlockSpec((1, pooled, pooled, CBLOCK),
-                               lambda i, ci, o: (i, 0, 0, ci),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, WINDOW, WINDOW, CBLOCK), feat.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    kernel = functools.partial(_kernel, pooled=pooled,
-                               sampling_ratio=sampling_ratio, h=h, w=w)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, pooled, pooled, c), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1.5 * (2 * WINDOW * WINDOW * CBLOCK
-                                        * feat.dtype.itemsize
-                                        + 2 * ps * WINDOW * 4
-                                        + pooled * pooled * CBLOCK * 4)
-                                 + 2 * 2**20),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * ps * WINDOW * c * (WINDOW + ps),
-            bytes_accessed=n * WINDOW * WINDOW * c * feat.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(origins, ay, ax, feat)
+    out = _run_window_kernel(origins, ay.astype(feat.dtype),
+                             ax.astype(feat.dtype), feat, pooled,
+                             window, window, interpret)
 
-    # Oversize guard (single-level C4 rois can span > WINDOW feature px,
+    # Oversize guard (single-level C4 rois can span > window feature px,
     # e.g. stride-16 rois on 800-scale images): route such rois to the
     # exact XLA gather path. lax.cond keeps the fallback off the hot path
     # when every roi is in-spec (the overwhelmingly common case).
-    oversize = (_window_exceeded(y1, rh, h, oy, pooled, sampling_ratio)
-                | _window_exceeded(x1, rw, w, ox, pooled, sampling_ratio))
+    oversize = (_window_exceeded(y1, rh, h, oy, pooled, sampling_ratio,
+                                 window)
+                | _window_exceeded(x1, rw, w, ox, pooled, sampling_ratio,
+                                   window))
+
+    feat_t = feat[:h, :w] if (pady or padx) else feat
 
     def _fix(o):
-        exact = roi_align(feat.astype(jnp.float32), rois, spatial_scale,
+        exact = roi_align(feat_t.astype(jnp.float32), rois, spatial_scale,
                           pooled, sampling_ratio)
         return jnp.where(oversize[:, None, None, None], exact, o)
 
     return jax.lax.cond(jnp.any(oversize), _fix, lambda o: o, out)
-
-
-def _pyramid_kernel(meta_ref, ay_ref, ax_ref, f0, f1, f2, f3, out_ref,
-                    win_buf, sems, *, pooled: int, sampling_ratio: int):
-    """Multi-level kernel: per-roi level id selects which HBM ref to DMA.
-
-    meta_ref (SMEM): (N, 3) int32 = (level_idx, y0, x0).
-    """
-    i = pl.program_id(0)
-    ci = pl.program_id(1)
-    nc = pl.num_programs(1)
-    ni = pl.num_programs(0)
-    flat = i * nc + ci
-    total = ni * nc
-    slot = jax.lax.rem(flat, 2)
-    nxt = jax.lax.rem(flat + 1, 2)
-    feats = (f0, f1, f2, f3)
-
-    def start_dma(fl, s):
-        ri = fl // nc
-        rc = jax.lax.rem(fl, nc)
-        lv = meta_ref[0, ri]
-        y0 = meta_ref[1, ri]
-        x0 = pl.multiple_of(meta_ref[2, ri], 8)
-        c0 = pl.multiple_of(rc * CBLOCK, CBLOCK)
-        for l, fref in enumerate(feats):
-            @pl.when(lv == l)
-            def _(fref=fref):
-                pltpu.make_async_copy(
-                    fref.at[pl.ds(y0, WINDOW), pl.ds(x0, WINDOW),
-                            pl.ds(c0, CBLOCK)],
-                    win_buf.at[s], sems.at[s]).start()
-
-    def wait_dma(fl, s):
-        ri = fl // nc
-        rc = jax.lax.rem(fl, nc)
-        lv = meta_ref[0, ri]
-        y0 = meta_ref[1, ri]
-        x0 = pl.multiple_of(meta_ref[2, ri], 8)
-        c0 = pl.multiple_of(rc * CBLOCK, CBLOCK)
-        for l, fref in enumerate(feats):
-            @pl.when(lv == l)
-            def _(fref=fref):
-                pltpu.make_async_copy(
-                    fref.at[pl.ds(y0, WINDOW), pl.ds(x0, WINDOW),
-                            pl.ds(c0, CBLOCK)],
-                    win_buf.at[s], sems.at[s]).wait()
-
-    @pl.when(flat == 0)
-    def _():
-        start_dma(0, 0)
-
-    @pl.when(flat + 1 < total)
-    def _():
-        start_dma(flat + 1, nxt)
-
-    wait_dma(flat, slot)
-
-    ps = pooled * sampling_ratio
-    win2d = win_buf[slot].reshape(WINDOW, WINDOW * CBLOCK)
-    t1 = jnp.dot(ay_ref[0], win2d, preferred_element_type=jnp.float32)
-    t1 = t1.reshape(ps, WINDOW, CBLOCK)
-    t2 = jax.lax.dot_general(ax_ref[0], t1, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    t2 = t2.transpose(1, 0, 2)
-    s = sampling_ratio
-    out_ref[0] = t2.reshape(pooled, s, pooled, s, CBLOCK).mean(axis=(1, 3))
 
 
 def roi_align_pyramid_pallas(feats, rois: jnp.ndarray, strides,
@@ -309,147 +280,125 @@ def roi_align_pyramid_pallas(feats, rois: jnp.ndarray, strides,
                              sampling_ratio: int = 2,
                              canonical_scale: int = 224,
                              canonical_level: int = 4,
-                             interpret: bool = False) -> jnp.ndarray:
-    """FPN RoIAlign: ONE kernel, one window DMA per roi from its assigned
-    level (predicated DMA source selection — the reference's host-side
-    level distribution, collect_and_distribute_fpn_rpn_proposals.py,
-    becomes a per-roi branch in the kernel).
+                             interpret: bool = False,
+                             wy: int = PYRAMID_WY,
+                             wx: int = PYRAMID_WX) -> jnp.ndarray:
+    """FPN RoIAlign: ONE kernel over ONE row-concatenated level atlas —
+    the reference's host-side level distribution
+    (collect_and_distribute_fpn_rpn_proposals.py) becomes per-roi window
+    origins into the atlas; the kernel itself is level-oblivious.
 
-    feats: exactly 4 levels (pad the list if fewer), same C (mult of 128).
-    BATCHED mode: pass feats as (B, h_l, w_l, C) and rois as (B, R, 4) —
-    each level is viewed as a vertically-stacked (B*h_l, w_l, C) atlas and
-    per-roi window origins get a +i*h_l image offset, so the whole batch is
-    ONE kernel launch.
+    feats: exactly 4 levels, same C (mult of 128). BATCHED mode: pass
+    feats as (B, h_l, w_l, C) and rois as (B, R, 4) — per-roi origins get
+    level + image row offsets, so the whole batch is ONE kernel launch.
     """
-    from ..roi_align import fpn_level_assignment, roi_align_pyramid
-
     assert len(feats) == 4, "pyramid kernel expects 4 levels"
-    orig_feats = list(feats)  # pre-padding, for the oversize fallback
     batched = rois.ndim == 3
     if batched:
         b, r = rois.shape[:2]
         img_idx = jnp.repeat(jnp.arange(b), r)
-        rois = rois.reshape(b * r, 4)
+        rois_flat = rois.reshape(b * r, 4)
     else:
-        img_idx = None
+        b = 1
+        img_idx = jnp.zeros((rois.shape[0],), jnp.int32)
+        rois_flat = rois
+        feats = [f[None] for f in feats]
+
     c = feats[0].shape[-1]
-    n = rois.shape[0]
-    levels = fpn_level_assignment(rois, k_min, k_max, canonical_scale,
+    n = rois_flat.shape[0]
+    levels = fpn_level_assignment(rois_flat, k_min, k_max, canonical_scale,
                                   canonical_level)
     li = levels - k_min
     scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)[li]
-    # True dims drive the interpolation weights (zero-pad semantics)...
-    hdim = 1 if batched else 0
-    hs = jnp.asarray([f.shape[hdim] for f in feats])[li]
-    ws = jnp.asarray([f.shape[hdim + 1] for f in feats])[li]
-    # ...while small top levels are zero-padded so the fixed window DMA
-    # stays in bounds (padded texels carry zero interp weight).
-    pad_cfg = (lambda f: ((0, 0), (0, max(WINDOW - f.shape[1], 0)),
-                          (0, max(WINDOW - f.shape[2], 0)), (0, 0))) \
-        if batched else \
-        (lambda f: ((0, max(WINDOW - f.shape[0], 0)),
-                    (0, max(WINDOW - f.shape[1], 0)), (0, 0)))
-    feats = [jnp.pad(f, pad_cfg(f))
-             if (f.shape[hdim] < WINDOW or f.shape[hdim + 1] < WINDOW)
-             else f for f in feats]
-    hs_img = jnp.asarray([f.shape[hdim] for f in feats])  # per level
-    hs_pad = hs_img[li]
-    ws_pad = jnp.asarray([f.shape[hdim + 1] for f in feats])[li]
-    if batched:
-        # Flatten batch into the vertical axis of each level.
-        feats = [f.reshape(-1, f.shape[2], f.shape[3]) for f in feats]
+    # True per-level dims drive interpolation weights (zero-pad semantics).
+    hs_lvl = np.asarray([f.shape[1] for f in feats])
+    ws_lvl = np.asarray([f.shape[2] for f in feats])
+    hs = jnp.asarray(hs_lvl)[li]
+    ws = jnp.asarray(ws_lvl)[li]
 
-    x1 = rois[:, 0] * scales
-    y1 = rois[:, 1] * scales
-    x2 = rois[:, 2] * scales
-    y2 = rois[:, 3] * scales
+    # --- build the atlas: levels x-padded to a common width, images and
+    # levels stacked along rows, plus an end pad so window DMAs of bands
+    # shorter than the window never run off the array.
+    aw = max(int(ws_lvl.max()), wx)
+    atlas_parts = [
+        jnp.pad(f, ((0, 0), (0, 0), (0, aw - f.shape[2]), (0, 0)))
+        .reshape(-1, aw, f.shape[3]) for f in feats
+    ]
+    atlas = jnp.concatenate(
+        atlas_parts + [jnp.zeros((wy, aw, c), feats[0].dtype)], axis=0)
+    # global row offset of (level, image) band: levels stacked in order,
+    # each level contributing b * h_l rows.
+    lvl_row0 = np.concatenate([[0], np.cumsum(b * hs_lvl)[:-1]])
+    band0 = jnp.asarray(lvl_row0)[li] + img_idx * hs
+
+    x1 = rois_flat[:, 0] * scales
+    y1 = rois_flat[:, 1] * scales
+    x2 = rois_flat[:, 2] * scales
+    y2 = rois_flat[:, 3] * scales
     rw = jnp.maximum(x2 - x1, 1.0)
     rh = jnp.maximum(y2 - y1, 1.0)
 
+    # local origins (image-band relative), clamped into the band where the
+    # band is tall/wide enough; shorter bands start at 0 and the window
+    # reads into the next band — harmless, those texels get zero weight.
     oy = jnp.clip(jnp.floor(y1).astype(jnp.int32) - 1, 0,
-                  jnp.maximum(hs_pad - WINDOW, 0))
+                  jnp.maximum(hs - wy, 0))
     ox = jnp.clip(jnp.floor(x1).astype(jnp.int32) - 1, 0,
-                  jnp.maximum(ws_pad - WINDOW, 0))
+                  jnp.maximum(ws - wx, 0))
     ox = (ox // 8) * 8
-    oy_dma = oy if not batched else oy + img_idx * hs_img[li]
-    meta = jnp.stack([li, oy_dma, ox], axis=0).astype(jnp.int32)
+    origins = jnp.stack([band0 + oy, ox], axis=0).astype(jnp.int32)
 
-    ay = _interp_operator(y1, rh, hs[:, None].astype(jnp.float32), oy,
-                          pooled, sampling_ratio).astype(feats[0].dtype)
-    ax = _interp_operator(x1, rw, ws[:, None].astype(jnp.float32), ox,
-                          pooled, sampling_ratio).astype(feats[0].dtype)
-
-    ps = pooled * sampling_ratio
-    assert c % CBLOCK == 0
-    nc = c // CBLOCK
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n, nc),
-        in_specs=[
-            pl.BlockSpec((1, ps, WINDOW), lambda i, ci, m: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ps, WINDOW), lambda i, ci, m: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, pooled, pooled, CBLOCK),
-                               lambda i, ci, m: (i, 0, 0, ci),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, WINDOW, WINDOW, CBLOCK), feats[0].dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    kernel = functools.partial(_pyramid_kernel, pooled=pooled,
-                               sampling_ratio=sampling_ratio)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, pooled, pooled, c), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1.5 * (2 * WINDOW * WINDOW * CBLOCK
-                                        * feats[0].dtype.itemsize
-                                        + 2 * ps * WINDOW * 4
-                                        + pooled * pooled * CBLOCK * 4)
-                                 + 2 * 2**20),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * ps * WINDOW * c * (WINDOW + ps),
-            bytes_accessed=n * WINDOW * WINDOW * c
-            * feats[0].dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(meta, ay, ax, *feats)
-
-    # Oversize guard: FPN level assignment bounds sqrt(wh)/2^k to < 28, but
-    # extreme aspect ratios can still push one axis past WINDOW — detect
-    # with the same condition the clamp uses and fall back to the exact
-    # XLA pyramid for those rois only.
     hs_f = hs[:, None].astype(jnp.float32)
     ws_f = ws[:, None].astype(jnp.float32)
-    oversize = (_window_exceeded(y1, rh, hs_f, oy, pooled, sampling_ratio)
-                | _window_exceeded(x1, rw, ws_f, ox, pooled,
-                                   sampling_ratio))
+    ay = _interp_operator(y1, rh, hs_f, oy, pooled, sampling_ratio,
+                          wy).astype(atlas.dtype)
+    ax = _interp_operator(x1, rw, ws_f, ox, pooled, sampling_ratio,
+                          wx).astype(atlas.dtype)
 
-    def _fix(o):
-        if batched:
-            exact = jax.vmap(lambda fs, bx: roi_align_pyramid(
-                [f.astype(jnp.float32) for f in fs], bx, strides, k_min,
-                k_max, pooled, sampling_ratio, canonical_scale,
-                canonical_level))(tuple(orig_feats), rois.reshape(b, r, 4))
-            exact = exact.reshape(n, pooled, pooled, c)
-        else:
-            exact = roi_align_pyramid(
-                [f.astype(jnp.float32) for f in orig_feats], rois, strides,
-                k_min, k_max, pooled, sampling_ratio, canonical_scale,
-                canonical_level)
+    out = _run_window_kernel(origins, ay, ax, atlas, pooled, wy, wx,
+                             interpret)
+
+    # --- oversize handling. FPN level assignment bounds sqrt(wh)/2^k to
+    # < 28, but extreme aspect ratios can push one axis past the window.
+    # Compact those rois into a fixed-size bucket and recompute them with
+    # the exact XLA gather path on the same (un-x-padded) atlas geometry:
+    # shifting a roi's y by (image index) x (padded image height) lands it
+    # in its own band at EVERY level simultaneously (PH / 2^l == h_l).
+    oversize = (_window_exceeded(y1, rh, hs_f, oy, pooled, sampling_ratio,
+                                 wy)
+                | _window_exceeded(x1, rw, ws_f, ox, pooled,
+                                   sampling_ratio, wx))
+    cap = min(OVERSIZE_CAP, n)
+    ph_img = float(hs_lvl[0] * strides[0])
+    band_feats = [f.reshape(-1, f.shape[2], f.shape[3]).astype(jnp.float32)
+                  for f in feats]
+    n_over = jnp.sum(oversize)
+
+    def _fix_bucket(o):
+        idx = jnp.argsort(~oversize)[:cap]
+        sel = oversize[idx]
+        shift = img_idx[idx].astype(jnp.float32) * ph_img
+        rois_m = rois_flat[idx] + shift[:, None] * jnp.asarray(
+            [0.0, 1.0, 0.0, 1.0])
+        exact_m = roi_align_pyramid(band_feats, rois_m, strides, k_min,
+                                    k_max, pooled, sampling_ratio,
+                                    canonical_scale, canonical_level)
+        return o.at[idx].set(
+            jnp.where(sel[:, None, None, None], exact_m, o[idx]))
+
+    out = jax.lax.cond(n_over > 0, _fix_bucket, lambda o: o, out)
+
+    # bucket overflow (should never happen on NMS'd proposals): full exact.
+    def _fix_all(o):
+        exact = roi_align_pyramid(
+            band_feats,
+            rois_flat + (img_idx.astype(jnp.float32) * ph_img)[:, None]
+            * jnp.asarray([0.0, 1.0, 0.0, 1.0]),
+            strides, k_min, k_max, pooled, sampling_ratio, canonical_scale,
+            canonical_level)
         return jnp.where(oversize[:, None, None, None], exact, o)
 
-    out = jax.lax.cond(jnp.any(oversize), _fix, lambda o: o, out)
+    out = jax.lax.cond(n_over > cap, _fix_all, lambda o: o, out)
     if batched:
         return out.reshape(b, r, pooled, pooled, c)
     return out
