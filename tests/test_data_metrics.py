@@ -80,3 +80,17 @@ def test_dataset_aggregation():
     assert agg["J"] == pytest.approx(0.6)
     assert agg["F"] == pytest.approx(0.4)
     assert agg["J&F"] == pytest.approx(0.5)
+
+
+def test_training_stats_tensorboard_scalars(tmp_path):
+    """TB scalar logging (reference: train_net_step.py --use_tfboard via
+    tensorboardX)."""
+    from vosdetectron_tpu.utils.training_stats import TrainingStats
+
+    tb = tmp_path / "tb"
+    stats = TrainingStats(log_period=2, tb_dir=str(tb))
+    for step in range(4):
+        stats.log(step, {"loss": 1.0 / (step + 1)}, max_iter=4)
+    stats.close()
+    files = list(tb.glob("events.out.tfevents.*"))
+    assert files and files[0].stat().st_size > 0

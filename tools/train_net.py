@@ -15,6 +15,9 @@ def main():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device (skip mesh sharding)")
+    p.add_argument("--use-tfboard", action="store_true",
+                   help="write TensorBoard scalars to <out>/tb "
+                        "(reference: train_net_step.py --use_tfboard)")
     args = p.parse_args()
     cfg = load_cfg(args)
 
@@ -42,7 +45,10 @@ def main():
     n_dev = 1 if mesh is None else mesh.size
     batch = cfg.train.ims_per_batch * n_dev
     loader = DetectionLoader(cfg, records, batch)
-    stats = TrainingStats(log_period=20)
+    import os
+    stats = TrainingStats(
+        log_period=20,
+        tb_dir=os.path.join(args.out, "tb") if args.use_tfboard else None)
 
     key = jax.random.PRNGKey(int(trainer.state.step))
     it = iter(loader)

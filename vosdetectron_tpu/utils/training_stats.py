@@ -4,9 +4,10 @@ Rebuild of the reference's stats/logging stack
 (reference: lib/utils/training_stats.py ~200 LoC 20-iter median smoothing +
 ETA; lib/utils/timer.py ~40 LoC; tensorboardX scalar logging).
 
-Emits human-readable console lines plus structured JSONL (machine-parseable
-observability — the TensorBoard-equivalent here; point any dashboard at the
-.jsonl). Window-median smoothing matches the reference's presentation.
+Emits human-readable console lines plus structured JSONL, and optionally
+TensorBoard scalars via tensorboardX (reference: train_net_step.py's
+--use_tfboard path writing smoothed losses through tensorboardX).
+Window-median smoothing matches the reference's presentation.
 """
 
 from __future__ import annotations
@@ -44,7 +45,8 @@ class Timer:
 
 class TrainingStats:
     def __init__(self, log_period: int = 20, window: int = 20,
-                 jsonl_path: Optional[str] = None):
+                 jsonl_path: Optional[str] = None,
+                 tb_dir: Optional[str] = None):
         self.log_period = log_period
         self.window = window
         self.hist: Dict[str, collections.deque] = {}
@@ -52,6 +54,13 @@ class TrainingStats:
         self._last_time = time.time()
         self._iter_times: collections.deque = collections.deque(
             maxlen=window)
+        self._tb = None
+        if tb_dir:
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(tb_dir)
+            except Exception as e:  # noqa: BLE001 — TB is optional
+                print(f"tensorboardX unavailable ({e}); JSONL only")
 
     def log(self, step: int, losses: Dict[str, float], max_iter: int):
         now = time.time()
@@ -74,3 +83,11 @@ class TrainingStats:
             with open(self.jsonl_path, "a") as f:
                 f.write(json.dumps({"step": step + 1, "iter_ms":
                                     it_s * 1e3, **med}) + "\n")
+        if self._tb is not None:
+            for k, v in med.items():
+                self._tb.add_scalar(f"train/{k}", v, step + 1)
+            self._tb.add_scalar("train/iter_ms", it_s * 1e3, step + 1)
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.close()
