@@ -33,10 +33,13 @@ Design (why this is NOT a gather kernel):
     of 4 level refs with @pl.when branches, which cost ~9 us/roi in
     scalar-core predication; the atlas removes that entirely (measured
     2.6 us/roi end-to-end, ~8x over the predicated kernel).
-  * Out-of-window RoIs (extreme aspect ratios): compacted into a fixed
-    OVERSIZE_CAP bucket and recomputed with the exact XLA gather path on
-    the same atlas (rois y-shifted by image offset), then scattered back.
-    Only if the bucket overflows does a lax.cond full-exact fallback run.
+  * Out-of-window RoIs (extreme aspect ratios): the rw*rh < 28^2 level-
+    assignment invariant means a roi exceeding the main window on one
+    axis is SHORT on the other, so outliers are compacted into fixed-cap
+    buckets and recomputed by the SAME kernel with class-shaped windows —
+    wide rois get (24, full-atlas-width), tall rois (tallest-band, 32) —
+    each pass gated by lax.cond on its count. Only bucket overflow or an
+    invariant-violating exotic config reaches the exact-gather fallback.
 
 The backward pass: XLA's scatter-add VJP of the jnp path is only used in
 training (workload 4, batch-bound), so the VJP defaults to the jnp
@@ -62,10 +65,6 @@ WINDOW = 64           # single-level (C4) window: stride-16 rois span more
 PYRAMID_WY = 40       # rh + ~3 slack  <= 40 covers aspect <= ~1.75 at max
 PYRAMID_WX = 48       # rw + ~11 slack <= 48 (8-aligned origin) likewise
 CBLOCK = 128          # lane-dim block; doubled to 256 when C allows
-OVERSIZE_CAP = 384    # compact-bucket size for exact-path rerouting
-                      # (untrained RPNs emit long sliver boxes whose span
-                      # at their assigned level exceeds any window; ~5% of
-                      # proposals in the from-scratch bench regime)
 DEPTH = 4             # DMA pipeline depth
 
 
@@ -114,7 +113,7 @@ def _window_exceeded(lo: jnp.ndarray, size: jnp.ndarray, dim,
 
 
 def _kernel(origins_ref, ay_ref, ax_ref, feat_hbm, out_ref, win_buf, sems,
-            *, wy: int, wx: int, cblock: int):
+            *, wy: int, wx: int, cblock: int, depth: int):
     """One RoI per grid step: pipelined window DMA + two dot_generals.
 
     out = ay @ win @ ax^T with contractions over the rhs sublane dim
@@ -126,7 +125,7 @@ def _kernel(origins_ref, ay_ref, ax_ref, feat_hbm, out_ref, win_buf, sems,
     ni = pl.num_programs(0)
     flat = i * nc + ci
     total = ni * nc
-    slot = jax.lax.rem(flat, DEPTH)
+    slot = jax.lax.rem(flat, depth)
 
     def dma(fl, s):
         ri = fl // nc
@@ -144,14 +143,14 @@ def _kernel(origins_ref, ay_ref, ax_ref, feat_hbm, out_ref, win_buf, sems,
 
     @pl.when(flat == 0)
     def _():
-        for d in range(DEPTH - 1):
+        for d in range(depth - 1):
             @pl.when(d < total)
             def _(d=d):
                 dma(d, d).start()
 
-    @pl.when(flat + DEPTH - 1 < total)
+    @pl.when(flat + depth - 1 < total)
     def _():
-        dma(flat + DEPTH - 1, jax.lax.rem(flat + DEPTH - 1, DEPTH)).start()
+        dma(flat + depth - 1, jax.lax.rem(flat + depth - 1, depth)).start()
 
     dma(flat, slot).wait()
 
@@ -160,15 +159,22 @@ def _kernel(origins_ref, ay_ref, ax_ref, feat_hbm, out_ref, win_buf, sems,
     s1 = jax.lax.dot_general(ax_ref[0], win, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     # (P_i, wy) x (P_j, wy, C) -> (P_i, P_j, C)
-    out_ref[0] = jax.lax.dot_general(ay_ref[0], s1.astype(ax_ref.dtype),
-                                     (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+    t2 = jax.lax.dot_general(ay_ref[0], s1.astype(ax_ref.dtype),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    out_ref[0] = t2.astype(out_ref.dtype)
 
 
 def _run_window_kernel(origins, ay, ax, atlas, pooled: int, wy: int,
-                       wx: int, interpret: bool) -> jnp.ndarray:
+                       wx: int, interpret: bool,
+                       out_dtype=jnp.float32,
+                       depth: int = DEPTH) -> jnp.ndarray:
     """Invoke the window kernel: origins (2, N) int32 global (row, col);
-    ay (N, P, wy), ax (N, P, wx) in atlas dtype; atlas (H, W, C)."""
+    ay (N, P, wy), ax (N, P, wx) in atlas dtype; atlas (H, W, C).
+
+    out_dtype: the aspect-outlier passes emit bf16 — XLA stack-allocates
+    cond-branch pallas outputs in scoped vmem (~18 MB), and the compute
+    dtype downstream is bf16 anyway."""
     n = ay.shape[0]
     c = atlas.shape[-1]
     cblock = 256 if c % 256 == 0 else CBLOCK
@@ -188,21 +194,22 @@ def _run_window_kernel(origins, ay, ax, atlas, pooled: int, wy: int,
                                lambda i, ci, o: (i, 0, 0, ci),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((DEPTH, wy, wx, cblock), atlas.dtype),
-            pltpu.SemaphoreType.DMA((DEPTH,)),
+            pltpu.VMEM((depth, wy, wx, cblock), atlas.dtype),
+            pltpu.SemaphoreType.DMA((depth,)),
         ],
     )
-    kernel = functools.partial(_kernel, wy=wy, wx=wx, cblock=cblock)
+    kernel = functools.partial(_kernel, wy=wy, wx=wx, cblock=cblock,
+                               depth=depth)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, pooled, pooled, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, pooled, pooled, c), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1.5 * (DEPTH * wy * wx * cblock
-                                        * atlas.dtype.itemsize
-                                        + pooled * (wy + wx) * 4
-                                        + pooled * pooled * cblock * 4)
-                                 + 2 * 2**20),
+            # 16 MB flat: must cover Mosaic's real demand (~13 MB for the
+            # widest pass windows) while staying under the ~17.8 MB
+            # scoped-vmem stack cap XLA applies to pallas calls inside
+            # lax.cond branches.
+            vmem_limit_bytes=16 * 2**20,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * pooled * c * wy * (wx + pooled),
@@ -319,13 +326,22 @@ def roi_align_pyramid_pallas(feats, rois: jnp.ndarray, strides,
     # --- build the atlas: levels x-padded to a common width, images and
     # levels stacked along rows, plus an end pad so window DMAs of bands
     # shorter than the window never run off the array.
-    aw = max(int(ws_lvl.max()), wx)
+    aw = -(-max(int(ws_lvl.max()), wx) // 8) * 8
+    # Window shapes for the aspect-outlier passes (see below). The level-
+    # assignment invariant rw*rh < 28^2 means a roi exceeding the main
+    # window on one axis is SHORT on the other: wide rois (rw > wx-11)
+    # have rh < 22 and always fit (24, full-atlas-width); tall rois have
+    # rw < 22 and fit (tallest-band, 32).
+    wy_wide, wx_wide = 24, aw
+    wy_tall = min(128, -(-int(hs_lvl.max()) // 8) * 8)
+    wx_tall = 32
+    end_pad = max(wy, wy_tall)
     atlas_parts = [
         jnp.pad(f, ((0, 0), (0, 0), (0, aw - f.shape[2]), (0, 0)))
         .reshape(-1, aw, f.shape[3]) for f in feats
     ]
     atlas = jnp.concatenate(
-        atlas_parts + [jnp.zeros((wy, aw, c), feats[0].dtype)], axis=0)
+        atlas_parts + [jnp.zeros((end_pad, aw, c), feats[0].dtype)], axis=0)
     # global row offset of (level, image) band: levels stacked in order,
     # each level contributing b * h_l rows.
     lvl_row0 = np.concatenate([[0], np.cumsum(b * hs_lvl)[:-1]])
@@ -358,37 +374,89 @@ def roi_align_pyramid_pallas(feats, rois: jnp.ndarray, strides,
     out = _run_window_kernel(origins, ay, ax, atlas, pooled, wy, wx,
                              interpret)
 
-    # --- oversize handling. FPN level assignment bounds sqrt(wh)/2^k to
-    # < 28, but extreme aspect ratios can push one axis past the window.
-    # Compact those rois into a fixed-size bucket and recompute them with
-    # the exact XLA gather path on the same (un-x-padded) atlas geometry:
-    # shifting a roi's y by (image index) x (padded image height) lands it
-    # in its own band at EVERY level simultaneously (PH / 2^l == h_l).
-    oversize = (_window_exceeded(y1, rh, hs_f, oy, pooled, sampling_ratio,
-                                 wy)
-                | _window_exceeded(x1, rw, ws_f, ox, pooled,
-                                   sampling_ratio, wx))
-    cap = min(OVERSIZE_CAP, n)
+    # --- aspect outliers. The main window covers every roi whose span+
+    # slack fits (wy, wx); rois past the window on one axis are compacted
+    # into fixed-cap buckets and recomputed by the SAME kernel with a
+    # window shaped for that class (wide: short + full atlas width; tall:
+    # tallest band + narrow). An earlier draft rerouted them through the
+    # exact XLA gather path, which cost ~76 ms whenever any outlier
+    # existed — real detectors emit wide boxes (trains, skis) every batch.
+    x_bad = _window_exceeded(x1, rw, ws_f, ox, pooled, sampling_ratio, wx)
+    y_bad = _window_exceeded(y1, rh, hs_f, oy, pooled, sampling_ratio, wy)
+    wide = x_bad
+    tall = y_bad & ~x_bad  # disjoint: rw*rh bound => never both huge
+
+    def _pass_local_origins(idx, wy_p, wx_p):
+        oy_p = jnp.clip(jnp.floor(y1[idx]).astype(jnp.int32) - 1, 0,
+                        jnp.maximum(hs[idx] - wy_p, 0))
+        ox_p = jnp.clip(jnp.floor(x1[idx]).astype(jnp.int32) - 1, 0,
+                        jnp.maximum(ws[idx] - wx_p, 0))
+        return oy_p, (ox_p // 8) * 8
+
+    def _make_pass(flag, cap, wy_p, wx_p):
+        def fix(o):
+            idx = jnp.argsort(~flag)[:cap]
+            sel = flag[idx]
+            oy_p, ox_p = _pass_local_origins(idx, wy_p, wx_p)
+            org = jnp.stack([band0[idx] + oy_p, ox_p], 0).astype(jnp.int32)
+            hf = hs[idx][:, None].astype(jnp.float32)
+            wf = ws[idx][:, None].astype(jnp.float32)
+            ay_p = _interp_operator(y1[idx], rh[idx], hf, oy_p, pooled,
+                                    sampling_ratio,
+                                    wy_p).astype(atlas.dtype)
+            ax_p = _interp_operator(x1[idx], rw[idx], wf, ox_p, pooled,
+                                    sampling_ratio,
+                                    wx_p).astype(atlas.dtype)
+            op = _run_window_kernel(org, ay_p, ax_p, atlas, pooled, wy_p,
+                                    wx_p, interpret,
+                                    out_dtype=atlas.dtype, depth=2)
+            return o.at[idx].set(
+                jnp.where(sel[:, None, None, None],
+                          op.astype(o.dtype), o[idx]))
+        return fix
+
+    cnt_w = jnp.sum(wide)
+    cnt_t = jnp.sum(tall)
+    # two wide tiers: a small one for the common few-outliers case, a big
+    # one so even untrained-RPN floods (30%+ wide boxes) never hit the
+    # full fallback. One flat lax.switch — nesting conds compounds XLA's
+    # scoped-vmem stack accounting for the branch pallas outputs.
+    capw1, capw2 = min(256, n), min(1536, n)
+    cap_t = min(384, n)
+    tier_w = jnp.where(
+        cnt_w == 0, 0,
+        jnp.where(cnt_w <= capw1, 1, jnp.where(cnt_w <= capw2, 2, 0)))
+    out = jax.lax.switch(
+        tier_w,
+        [lambda o: o,
+         _make_pass(wide, capw1, wy_wide, wx_wide),
+         _make_pass(wide, capw2, wy_wide, wx_wide)],
+        out)
+    out = jax.lax.cond((cnt_t > 0) & (cnt_t <= cap_t),
+                       _make_pass(tall, cap_t, wy_tall, wx_tall),
+                       lambda o: o, out)
+
+    # --- guaranteed-exact fallback for anything the passes could not
+    # cover (bucket overflow, or exotic configs violating the rw*rh
+    # bound): the XLA gather path on the same band geometry — shifting a
+    # roi's y by (image index) x (padded image height) lands it in its
+    # own band at EVERY level simultaneously (PH / 2^l == h_l).
+    def _exceeds(flag, wy_p, wx_p):
+        oy_p, ox_p = _pass_local_origins(jnp.arange(n), wy_p, wx_p)
+        bad = (_window_exceeded(y1, rh, hs_f, oy_p, pooled,
+                                sampling_ratio, wy_p)
+               | _window_exceeded(x1, rw, ws_f, ox_p, pooled,
+                                  sampling_ratio, wx_p))
+        return flag & bad
+
+    oversize = x_bad | y_bad
+    residual = ((cnt_w > capw2) | (cnt_t > cap_t)
+                | jnp.any(_exceeds(wide, wy_wide, wx_wide))
+                | jnp.any(_exceeds(tall, wy_tall, wx_tall)))
     ph_img = float(hs_lvl[0] * strides[0])
     band_feats = [f.reshape(-1, f.shape[2], f.shape[3]).astype(jnp.float32)
                   for f in feats]
-    n_over = jnp.sum(oversize)
 
-    def _fix_bucket(o):
-        idx = jnp.argsort(~oversize)[:cap]
-        sel = oversize[idx]
-        shift = img_idx[idx].astype(jnp.float32) * ph_img
-        rois_m = rois_flat[idx] + shift[:, None] * jnp.asarray(
-            [0.0, 1.0, 0.0, 1.0])
-        exact_m = roi_align_pyramid(band_feats, rois_m, strides, k_min,
-                                    k_max, pooled, sampling_ratio,
-                                    canonical_scale, canonical_level)
-        return o.at[idx].set(
-            jnp.where(sel[:, None, None, None], exact_m, o[idx]))
-
-    out = jax.lax.cond(n_over > 0, _fix_bucket, lambda o: o, out)
-
-    # bucket overflow (should never happen on NMS'd proposals): full exact.
     def _fix_all(o):
         exact = roi_align_pyramid(
             band_feats,
@@ -398,7 +466,7 @@ def roi_align_pyramid_pallas(feats, rois: jnp.ndarray, strides,
             canonical_level)
         return jnp.where(oversize[:, None, None, None], exact, o)
 
-    out = jax.lax.cond(n_over > cap, _fix_all, lambda o: o, out)
+    out = jax.lax.cond(residual, _fix_all, lambda o: o, out)
     if batched:
         return out.reshape(b, r, pooled, pooled, c)
     return out
