@@ -201,3 +201,58 @@ def test_evaluator_tie_prefers_later_gt_index():
     tp2, _ = _match_image_category(iou2, np.zeros(2, bool),
                                    np.zeros(2, bool), np.zeros(2, bool))
     assert tp2.all()
+
+
+def make_mixed_aspect_coco(tmp_path, rng):
+    """Two landscape + two portrait images with one box each."""
+    import cv2
+
+    img_dir = tmp_path / "mimages"
+    img_dir.mkdir()
+    images, annotations = [], []
+    shapes = [(64, 96), (64, 96), (96, 64), (96, 64)]
+    for iid, (h, w) in enumerate(shapes, start=1):
+        im = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        cv2.imwrite(str(img_dir / f"{iid:012d}.jpg"), im)
+        images.append({"id": iid, "file_name": f"{iid:012d}.jpg",
+                       "height": h, "width": w})
+        annotations.append({
+            "id": iid, "image_id": iid, "category_id": 17,
+            "bbox": [8, 8, 20, 24], "area": 480, "iscrowd": 0,
+            "segmentation": [[8, 8, 28, 8, 28, 32, 8, 32]],
+        })
+    ann = {"images": images, "annotations": annotations,
+           "categories": [{"id": 17, "name": "cat"}]}
+    ann_file = tmp_path / "mixed.json"
+    ann_file.write_text(json.dumps(ann))
+    return str(ann_file), str(img_dir)
+
+
+def test_aspect_grouped_batches(tmp_path, rng):
+    """Portrait images pad to the transposed shape uncropped, and batches
+    are orientation-homogeneous (reference: aspect-grouped
+    MinibatchSampler in lib/roi_data/loader.py)."""
+    from vosdetectron_tpu.data.catalog import CocoRecord
+    from vosdetectron_tpu.data.detection_data import DetectionLoader
+
+    ann, imgs = make_mixed_aspect_coco(tmp_path, rng)
+    ds = CocoDataset(ann, imgs)
+    cfg = apply_overrides(Config(), [
+        ("train.scales", (96,)), ("train.max_size", 160),
+        ("train.padded_image_size", (128, 192)),
+        ("train.max_gt_instances", 4),
+        ("train.use_flipped", False),
+    ]).validate()
+    recs = [CocoRecord(ds, iid, fl) for iid, fl in coco_roidb(ds, False)]
+    assert [r.portrait for r in recs] == [False, False, True, True]
+
+    # portrait example pads to the transposed static shape, uncropped
+    img, hw, gt = recs[2].load(cfg, 96)
+    assert img.shape == (192, 128, 3)
+    assert hw[0] <= 192 and hw[1] <= 128
+
+    loader = DetectionLoader(cfg, recs, batch_size=2, seed=0,
+                             num_threads=1)
+    it = iter(loader)
+    shapes = [next(it)[0].shape for _ in range(4)]
+    assert set(shapes) == {(2, 128, 192, 3), (2, 192, 128, 3)}

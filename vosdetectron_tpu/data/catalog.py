@@ -52,6 +52,13 @@ class CocoRecord:
     image_id: int
     flipped: bool
 
+    @property
+    def portrait(self) -> bool:
+        """Aspect-group key (reference: MinibatchSampler groups by
+        aspect); portrait batches pad to the transposed static shape."""
+        ex = self.dataset.example(self.image_id)
+        return ex.height > ex.width
+
     def load(self, cfg: Config, scale: int):
         from .coco import load_coco_example
 

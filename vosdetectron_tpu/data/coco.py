@@ -143,7 +143,8 @@ def load_coco_example(cfg: Config, dataset: CocoDataset, image_id: int,
     h, w = im.shape[:2]
     s = min(scale / min(h, w), cfg.train.max_size / max(h, w))
     nh, nw = int(round(h * s)), int(round(w * s))
-    ph, pw = cfg.train.padded_image_size
+    from .detection_data import padded_train_shape
+    ph, pw = padded_train_shape(cfg, h > w)
     im = cv2.resize(im.astype(np.float32), (nw, nh),
                     interpolation=cv2.INTER_LINEAR)
     im -= np.asarray(cfg.data.pixel_means, np.float32)

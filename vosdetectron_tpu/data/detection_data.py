@@ -26,11 +26,25 @@ from ..config import Config
 from .davis import DavisCatalog, read_image_bgr, read_indexed_png
 
 
+def padded_train_shape(cfg: Config, portrait: bool) -> Tuple[int, int]:
+    """Static padded shape for one orientation. Portrait images use the
+    TRANSPOSED padded size — batching them into the landscape shape would
+    crop them (shortest-side-800 makes a portrait image TALLER than the
+    landscape pad). Aspect-grouped batches (reference: loader.py's
+    MinibatchSampler groups by aspect ratio) keep each batch one shape;
+    XLA compiles one train step per orientation."""
+    ph, pw = cfg.train.padded_image_size
+    return (pw, ph) if portrait else (ph, pw)
+
+
 @dataclass
 class FrameRecord:
     image_path: str
     anno_path: str
     flipped: bool = False
+
+    # DAVIS 480p frames are landscape (854x480).
+    portrait: bool = False
 
     def load(self, cfg: Config, scale: int):
         return load_example(cfg, self, scale)
@@ -68,7 +82,7 @@ def load_example(cfg: Config, rec: FrameRecord, scale: int
     h, w = im.shape[:2]
     s = min(scale / min(h, w), cfg.train.max_size / max(h, w))
     nh, nw = int(round(h * s)), int(round(w * s))
-    ph, pw = cfg.train.padded_image_size
+    ph, pw = padded_train_shape(cfg, h > w)
     im = cv2.resize(im.astype(np.float32), (nw, nh),
                     interpolation=cv2.INTER_LINEAR)
     im -= np.asarray(cfg.data.pixel_means, np.float32)
@@ -142,13 +156,23 @@ class DetectionLoader:
                 # records carry their own loader (DAVIS frames, COCO
                 # examples, ... — data/catalog.py) but all produce the
                 # same fixed-shape tuple
-                q.put(rec.load(cfg, scale))
+                portrait = bool(getattr(rec, "portrait", False))
+                q.put((portrait, rec.load(cfg, scale)))
 
         for _ in range(self.num_threads):
             threading.Thread(target=worker, daemon=True).start()
 
+        # Aspect-grouped batching (reference: MinibatchSampler): each
+        # yielded batch is orientation-homogeneous so its pytree has ONE
+        # static shape; whichever orientation buffer fills first ships.
+        buffers: dict = {False: [], True: []}
         while True:
-            items = [q.get() for _ in range(self.batch)]
+            portrait, item = q.get()
+            buf = buffers[portrait]
+            buf.append(item)
+            if len(buf) < self.batch:
+                continue
+            items, buffers[portrait] = buf, []
             images = np.stack([it[0] for it in items])
             im_hw = np.stack([it[1] for it in items])
             gt = {k: np.stack([it[2][k] for it in items])
