@@ -131,6 +131,33 @@ class TestInterpretMode:
             [f for f in feats], jnp.asarray(rois), strides, 2, 5, 7, 2))
         assert np.abs(got - want).max() < 0.05
 
+    def test_roi_align_pyramid_clamped_top_level_and_tall_sliver(self, rng):
+        """800-scale geometry: a whole-image roi lands on the CLAMPED top
+        level (escaping the rw*rh invariant) and a 1-px-wide image-height
+        sliver spans the full finest band — both must stay exact (the
+        main window adapts to the k_max band; the tall pass to the P2
+        band)."""
+        from vosdetectron_tpu.ops.pallas.roi_align_pallas import \
+            roi_align_pyramid_pallas
+        from vosdetectron_tpu.ops.roi_align import roi_align_pyramid
+
+        strides = [4, 8, 16, 32]
+        h, w = 208, 352  # 832x1408 /4 — the 800-scale P2 shape
+        feats = [jnp.asarray(rng.randn(h // (s // 4), w // (s // 4), 128)
+                             .astype(np.float32)) for s in strides]
+        rois = np.array([
+            [0, 0, 1407, 831],     # whole image -> clamped k_max
+            [100, 0, 104, 831],    # tall sliver -> full P2 band height
+            [0, 400, 1407, 404],   # wide sliver -> full-width window
+            [50, 50, 200, 180],    # ordinary roi
+        ], np.float32)
+        got = np.asarray(roi_align_pyramid_pallas(
+            feats, jnp.asarray(rois), strides, 2, 5, 7, 2,
+            interpret=True))
+        want = np.asarray(roi_align_pyramid(
+            [f for f in feats], jnp.asarray(rois), strides, 2, 5, 7, 2))
+        assert np.abs(got - want).max() < 0.05
+
     def test_nms_parity(self, rng):
         from vosdetectron_tpu.ops.nms import nms
         from vosdetectron_tpu.ops.pallas.nms_pallas import nms_pallas

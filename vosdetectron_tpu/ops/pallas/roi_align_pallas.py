@@ -327,13 +327,24 @@ def roi_align_pyramid_pallas(feats, rois: jnp.ndarray, strides,
     # levels stacked along rows, plus an end pad so window DMAs of bands
     # shorter than the window never run off the array.
     aw = -(-max(int(ws_lvl.max()), wx) // 8) * 8
-    # Window shapes for the aspect-outlier passes (see below). The level-
-    # assignment invariant rw*rh < 28^2 means a roi exceeding the main
-    # window on one axis is SHORT on the other: wide rois (rw > wx-11)
-    # have rh < 22 and always fit (24, full-atlas-width); tall rois have
-    # rw < 22 and fit (tallest-band, 32).
+
+    def _rup8(v: int) -> int:
+        return -(-int(v) // 8) * 8
+
+    # The main window must cover the k_max band: rois CLAMPED to the top
+    # level escape the rw*rh < 28^2 invariant, but their span is bounded
+    # by the band itself (a whole-image box at 800 scale spans 26x44 at
+    # P5) — so grow the main window to band + origin slack when needed.
+    wy = max(wy, _rup8(hs_lvl[-1] + 4))
+    wx = max(wx, _rup8(ws_lvl[-1] + 12))
+    # Window shapes for the aspect-outlier passes (see below). At interior
+    # levels the invariant holds, so a roi exceeding the main window on
+    # one axis is SHORT on the other: wide rois (rw > wx-11) have
+    # rh < 22 and fit (24, full-atlas-width); tall rois have rw < 22 and
+    # fit (finest-band-height, 32) — a 1-px-wide image-height sliver at
+    # level 2 spans the full P2 band, so no fixed cap on wy_tall.
     wy_wide, wx_wide = 24, aw
-    wy_tall = min(128, -(-int(hs_lvl.max()) // 8) * 8)
+    wy_tall = _rup8(int(hs_lvl.max()))
     wx_tall = 32
     end_pad = max(wy, wy_tall)
     atlas_parts = [
