@@ -9,9 +9,13 @@ import os
 
 
 def latest_checkpoint(ckpt_dir: str) -> str | None:
+    """Newest COMPLETE snapshot. Skips orbax's *-tmp dirs — a crash mid-
+    save must not poison --resume (reference behavior: load_ckpt restores
+    the last fully-written .pth)."""
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    steps = sorted(d for d in os.listdir(ckpt_dir)
+                   if d.startswith("step_") and "tmp" not in d)
     return os.path.join(ckpt_dir, steps[-1]) if steps else None
 
 
