@@ -131,6 +131,24 @@ class TestInterpretMode:
             [f for f in feats], jnp.asarray(rois), strides, 2, 5, 7, 2))
         assert np.abs(got - want).max() < 0.05
 
+    def test_roi_align_single_whole_map_roi_800_scale(self, rng):
+        """C4 at 800 scale: a whole-image roi spans the full 52x88 map —
+        the window must grow to the map so the kernel (not the fallback)
+        stays exact."""
+        from vosdetectron_tpu.ops.pallas.roi_align_pallas import \
+            roi_align_pallas
+        from vosdetectron_tpu.ops.roi_align import roi_align
+
+        feat = rng.randn(52, 88, 128).astype(np.float32)
+        rois = np.array([[0, 0, 1408, 832], [100, 100, 400, 300]],
+                        np.float32)
+        got = np.asarray(roi_align_pallas(
+            jnp.asarray(feat), jnp.asarray(rois), 1.0 / 16.0, 14, 2,
+            interpret=True))
+        want = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                                    1.0 / 16.0, 14, 2))
+        assert np.abs(got - want).max() < 0.05
+
     def test_roi_align_pyramid_clamped_top_level_and_tall_sliver(self, rng):
         """800-scale geometry: a whole-image roi lands on the CLAMPED top
         level (escaping the rw*rh invariant) and a 1-px-wide image-height

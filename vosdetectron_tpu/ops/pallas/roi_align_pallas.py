@@ -234,6 +234,13 @@ def roi_align_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
     image-coord xyxy. Returns (N, pooled, pooled, C) float32.
     """
     h, w, c = feat.shape
+    # Grow the window to cover the whole map when that stays cheap: a
+    # whole-image roi (the most common large box) then never triggers the
+    # fallback — at 800 scale the C4 map is 52x88, past the default 64.
+    need = -(-max(h, w) // 8) * 8
+    if need > window and 2 * need * need * 256 * 2 <= 14 * 2**20:
+        window = need
+    depth = 2 if window > 64 else DEPTH
     x1 = rois[:, 0] * spatial_scale
     y1 = rois[:, 1] * spatial_scale
     x2 = rois[:, 2] * spatial_scale
@@ -261,7 +268,7 @@ def roi_align_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
 
     out = _run_window_kernel(origins, ay.astype(feat.dtype),
                              ax.astype(feat.dtype), feat, pooled,
-                             window, window, interpret)
+                             window, window, interpret, depth=depth)
 
     # Oversize guard (single-level C4 rois can span > window feature px,
     # e.g. stride-16 rois on 800-scale images): route such rois to the
