@@ -333,6 +333,15 @@ def _coerce(value: Any, target_type: Any) -> Any:
         elem = args[0] if args else float
         if elem is Ellipsis:
             elem = float
+        if isinstance(value, str):
+            # CLI strings like "(57.4,57.1,58.4)" or "800,900"
+            # (reference: merge_cfg_from_list literal-evals --set values)
+            import ast
+
+            try:
+                value = ast.literal_eval(value)
+            except (ValueError, SyntaxError):
+                value = [v for v in value.strip("()[]").split(",") if v]
         seq = value if isinstance(value, (list, tuple)) else [value]
         return tuple(_coerce(v, elem) for v in seq)
     if target_type is bool and isinstance(value, str):

@@ -24,6 +24,7 @@ def load_params(path: str):
     them — picks the latest)."""
     import orbax.checkpoint as ocp
 
+    path = os.path.abspath(path)  # orbax rejects relative paths
     if os.path.isdir(path) and not os.path.basename(path).startswith(
             "step_"):
         latest = latest_checkpoint(path)
