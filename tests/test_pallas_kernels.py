@@ -176,6 +176,62 @@ class TestInterpretMode:
             [f for f in feats], jnp.asarray(rois), strides, 2, 5, 7, 2))
         assert np.abs(got - want).max() < 0.05
 
+    def test_pyramid_batched_fallback_no_cross_image_bleed(self, rng):
+        """Regression (ADVICE r2 #1): the batched guaranteed-exact fallback
+        must not blend a neighbouring image's rows into bottom-edge rois.
+        canonical_scale=2240 forces every roi to the finest level with
+        rw,rh ~ 55 — too big for every kernel window class — so the
+        residual `_fix_all` path runs; the old stacked-band fallback read
+        image i+1's first row for image i's bottom-edge samples."""
+        from vosdetectron_tpu.ops.pallas.roi_align_pallas import \
+            roi_align_pyramid_pallas
+        from vosdetectron_tpu.ops.roi_align import roi_align_pyramid
+
+        strides = [4, 8, 16, 32]
+        h, w = 64, 64  # 256x256 image at P2
+        feats = [jnp.asarray(rng.randn(2, h // (s // 4), w // (s // 4), 128)
+                             .astype(np.float32)) for s in strides]
+        # image 0: a huge roi (fails every window class -> residual fires)
+        # plus a WIDE bottom-edge roi short enough in y (rh ~ 21) that its
+        # last bilinear sample crosses the band boundary (row 64 = image
+        # 1's first row in the old stacked layout).
+        rois = np.array([
+            [[10, 30, 230, 255], [10, 171, 230, 255.9]],  # image 0
+            [[10, 30, 230, 255], [5, 120, 250, 250]],     # image 1
+        ], np.float32)
+        got = np.asarray(roi_align_pyramid_pallas(
+            feats, jnp.asarray(rois), strides, 2, 5, 7, 2,
+            canonical_scale=2240, interpret=True))
+        for i in range(2):
+            want = np.asarray(roi_align_pyramid(
+                [f[i] for f in feats], jnp.asarray(rois[i]), strides,
+                2, 5, 7, 2, canonical_scale=2240))
+            assert np.abs(got[i] - want).max() < 0.05, f"image {i}"
+
+    def test_pyramid_float32_c256_parity(self, rng):
+        """Regression (ADVICE r2 #2): float32 features with C%256==0 must
+        pick a 128-lane channel block so VMEM scratch stays within the
+        2-byte budget; parity must hold either way."""
+        from vosdetectron_tpu.ops.pallas.roi_align_pallas import (
+            _pick_cblock, roi_align_pyramid_pallas)
+        from vosdetectron_tpu.ops.roi_align import roi_align_pyramid
+
+        assert _pick_cblock(256, jnp.float32) == 128
+        assert _pick_cblock(256, jnp.bfloat16) == 256
+        assert _pick_cblock(384, jnp.bfloat16) == 128
+
+        strides = [4, 8, 16, 32]
+        h, w = 64, 96
+        feats = [jnp.asarray(rng.randn(h // (s // 4), w // (s // 4), 256)
+                             .astype(np.float32)) for s in strides]
+        rois = np.array([[8, 8, 60, 48], [0, 0, 200, 150]], np.float32)
+        got = np.asarray(roi_align_pyramid_pallas(
+            feats, jnp.asarray(rois), strides, 2, 5, 7, 2,
+            interpret=True))
+        want = np.asarray(roi_align_pyramid(
+            [f for f in feats], jnp.asarray(rois), strides, 2, 5, 7, 2))
+        assert np.abs(got - want).max() < 0.05
+
     def test_nms_parity(self, rng):
         from vosdetectron_tpu.ops.nms import nms
         from vosdetectron_tpu.ops.pallas.nms_pallas import nms_pallas

@@ -156,8 +156,12 @@ class DetectionLoader:
                 # records carry their own loader (DAVIS frames, COCO
                 # examples, ... — data/catalog.py) but all produce the
                 # same fixed-shape tuple
-                portrait = bool(getattr(rec, "portrait", False))
-                q.put((portrait, rec.load(cfg, scale)))
+                item = rec.load(cfg, scale)
+                # Group by the padded shape the loader ACTUALLY produced
+                # (not record metadata — ADVICE r2 #4: EXIF-rotated or
+                # corrupt files can decode with the opposite orientation,
+                # and a metadata key would then mix shapes in one buffer).
+                q.put((item[0].shape, item))
 
         for _ in range(self.num_threads):
             threading.Thread(target=worker, daemon=True).start()
@@ -165,14 +169,14 @@ class DetectionLoader:
         # Aspect-grouped batching (reference: MinibatchSampler): each
         # yielded batch is orientation-homogeneous so its pytree has ONE
         # static shape; whichever orientation buffer fills first ships.
-        buffers: dict = {False: [], True: []}
+        buffers: dict = {}
         while True:
-            portrait, item = q.get()
-            buf = buffers[portrait]
+            shape, item = q.get()
+            buf = buffers.setdefault(shape, [])
             buf.append(item)
             if len(buf) < self.batch:
                 continue
-            items, buffers[portrait] = buf, []
+            items, buffers[shape] = buf, []
             images = np.stack([it[0] for it in items])
             im_hw = np.stack([it[1] for it in items])
             gt = {k: np.stack([it[2][k] for it in items])

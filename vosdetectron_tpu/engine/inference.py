@@ -62,7 +62,8 @@ def postprocess_boxes(outputs: RCNNOutputs, im_hw: jnp.ndarray,
             dec = jnp.broadcast_to(dec, (r, k, 4))
         else:
             dec = box_ops.bbox_transform_inv(
-                rois_i[:, None, :], deltas_i, cfg.model.bbox_reg_weights)
+                rois_i[:, None, :], deltas_i, cfg.model.bbox_reg_weights,
+                legacy_plus1=cfg.model.legacy_plus1)
         dec = box_ops.clip_boxes(dec, hw,
                                  legacy_plus1=cfg.model.legacy_plus1)
 
@@ -151,7 +152,8 @@ def collect_candidates(outputs: RCNNOutputs, im_hw: jnp.ndarray,
             dec = jnp.broadcast_to(dec, (r, k, 4))
         else:
             dec = box_ops.bbox_transform_inv(
-                rois_i[:, None, :], deltas_i, cfg.model.bbox_reg_weights)
+                rois_i[:, None, :], deltas_i, cfg.model.bbox_reg_weights,
+                legacy_plus1=cfg.model.legacy_plus1)
         dec = box_ops.clip_boxes(dec, hw,
                                  legacy_plus1=cfg.model.legacy_plus1)
         fg_probs = probs_i[:, 1:].reshape(-1)

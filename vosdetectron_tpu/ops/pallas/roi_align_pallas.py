@@ -112,6 +112,30 @@ def _window_exceeded(lo: jnp.ndarray, size: jnp.ndarray, dim,
     return (bad0 | bad1).any(axis=1)
 
 
+def _ychunk_pad(wy: int, itemsize: int) -> int:
+    """Rows the kernel may DMA for a window of wy rows: tall windows are
+    y-chunked (see _kernel_ychunk) and read up to nyc*chunk rows — callers
+    must pad their HBM source to cover this overscan."""
+    if wy * itemsize > 352:
+        ch = 112 if itemsize == 2 else 56
+        return -(-wy // ch) * ch
+    return wy
+
+
+def _pick_cblock(c: int, dtype, cap: int = 256) -> int:
+    """Lane-dim block: 256 lanes only when 2-byte features keep the window
+    scratch at 512 B/texel — for 4-byte dtypes 128 lanes hold the same byte
+    budget, so VMEM sizing (and the window-growth guard) is dtype-invariant
+    (ADVICE r2: the old 256-lane pick undersized VMEM 2x for float32).
+    `cap` lets wide-window passes halve the block: the aspect-outlier
+    passes DMA (24, atlas_width) windows, whose Mosaic scoped-vmem demand
+    at 800-scale geometry (aw=352) exceeds the 16 MB stack limit at 256
+    lanes (measured 20.3 MB on-chip) but fits at 128."""
+    if cap >= 256 and c % 256 == 0 and jnp.dtype(dtype).itemsize == 2:
+        return 256
+    return CBLOCK
+
+
 def _kernel(origins_ref, ay_ref, ax_ref, feat_hbm, out_ref, win_buf, sems,
             *, wy: int, wx: int, cblock: int, depth: int):
     """One RoI per grid step: pipelined window DMA + two dot_generals.
@@ -165,10 +189,135 @@ def _kernel(origins_ref, ay_ref, ax_ref, feat_hbm, out_ref, win_buf, sems,
     out_ref[0] = t2.astype(out_ref.dtype)
 
 
+def _kernel_ychunk(origins_ref, ay_ref, ax_ref, feat_hbm, out_ref, win_buf,
+                   acc, sems, *, wy_chunk: int, wx: int, cblock: int,
+                   depth: int, nyc: int):
+    """Y-chunked variant: out = sum_yc Ay[:, yc] @ win[yc] @ Ax^T.
+
+    Very tall windows (a full 208-row P2 band at 800 scale) exceed
+    Mosaic's ~16 MB scoped-vmem stack even at depth 1 (measured 16.16 MB
+    for (208, 32); (176, 32) fits) — the separable interp is linear in
+    the window rows, so the window is streamed in row chunks with an f32
+    accumulator. Grid (n, nc, nyc), yc fastest => the accumulator and
+    out block stay resident across a roi's chunks."""
+    i = pl.program_id(0)
+    ci = pl.program_id(1)
+    yc = pl.program_id(2)
+    ni, nc = pl.num_programs(0), pl.num_programs(1)
+    flat = (i * nc + ci) * nyc + yc
+    total = ni * nc * nyc
+    slot = jax.lax.rem(flat, depth)
+
+    def dma(fl, s):
+        ri = fl // (nc * nyc)
+        rest = jax.lax.rem(fl, nc * nyc)
+        rc = rest // nyc
+        ryc = jax.lax.rem(rest, nyc)
+        y0 = origins_ref[0, ri] + ryc * wy_chunk
+        x0 = pl.multiple_of(origins_ref[1, ri], 8)
+        c0 = pl.multiple_of(rc * cblock, cblock)
+        return pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(y0, wy_chunk), pl.ds(x0, wx),
+                        pl.ds(c0, cblock)],
+            win_buf.at[s],
+            sems.at[s],
+        )
+
+    @pl.when(flat == 0)
+    def _():
+        for d in range(depth - 1):
+            @pl.when(d < total)
+            def _(d=d):
+                dma(d, d).start()
+
+    @pl.when(flat + depth - 1 < total)
+    def _():
+        dma(flat + depth - 1, jax.lax.rem(flat + depth - 1, depth)).start()
+
+    dma(flat, slot).wait()
+
+    win = win_buf[slot]           # (wy_chunk, wx, cblock)
+    s1 = jax.lax.dot_general(ax_ref[0], win, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    # ay arrives TRANSPOSED per chunk — (chunk, P) — because a (P, chunk)
+    # lane-dim block would need chunk % 128 == 0; as the sublane dim the
+    # chunk only needs % 8. Contraction stays on sublane dims throughout.
+    t2 = jax.lax.dot_general(ay_ref[0, 0], s1.astype(ax_ref.dtype),
+                             (((0,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(yc == 0)
+    def _():
+        acc[...] = t2
+
+    @pl.when(yc > 0)
+    def _():
+        acc[...] += t2
+
+    @pl.when(yc == nyc - 1)
+    def _():
+        out_ref[0] = acc[...].astype(out_ref.dtype)
+
+
+def _run_ychunk_kernel(origins, ay, ax, atlas, pooled: int, wy: int,
+                       wx: int, interpret: bool, out_dtype, depth: int,
+                       cblock: int, wy_chunk: int) -> jnp.ndarray:
+    """Chunked launcher: pads Ay to nyc*wy_chunk zero columns (zero rows
+    of the window read past the band get zero weight — the caller's atlas
+    end pad must cover wy_pad rows past any origin)."""
+    n = ay.shape[0]
+    c = atlas.shape[-1]
+    nc = c // cblock
+    nyc = -(-wy // wy_chunk)
+    wy_pad = nyc * wy_chunk
+    if wy_pad != wy:
+        ay = jnp.pad(ay, ((0, 0), (0, 0), (0, wy_pad - wy)))
+    # (N, P, nyc*chunk) -> (N, nyc, chunk, P): chunk as SUBLANE dim (a
+    # lane-dim block of `chunk` would need chunk % 128 == 0 on TPU).
+    ay_t = ay.reshape(n, pooled, nyc, wy_chunk).transpose(0, 2, 3, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, nc, nyc),
+        in_specs=[
+            pl.BlockSpec((1, 1, wy_chunk, pooled),
+                         lambda i, ci, yc, o: (i, yc, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pooled, wx), lambda i, ci, yc, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, pooled, pooled, cblock),
+                               lambda i, ci, yc, o: (i, 0, 0, ci),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((depth, wy_chunk, wx, cblock), atlas.dtype),
+            pltpu.VMEM((pooled, pooled, cblock), jnp.float32),
+            pltpu.SemaphoreType.DMA((depth,)),
+        ],
+    )
+    kernel = functools.partial(_kernel_ychunk, wy_chunk=wy_chunk, wx=wx,
+                               cblock=cblock, depth=depth, nyc=nyc)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, pooled, pooled, c), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=16 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * pooled * c * wy_pad * (wx + pooled),
+            bytes_accessed=n * wy_pad * wx * c * atlas.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(origins, ay_t, ax, atlas)
+
+
 def _run_window_kernel(origins, ay, ax, atlas, pooled: int, wy: int,
                        wx: int, interpret: bool,
                        out_dtype=jnp.float32,
-                       depth: int = DEPTH) -> jnp.ndarray:
+                       depth: int = DEPTH,
+                       cblock_cap: int = 256) -> jnp.ndarray:
     """Invoke the window kernel: origins (2, N) int32 global (row, col);
     ay (N, P, wy), ax (N, P, wx) in atlas dtype; atlas (H, W, C).
 
@@ -177,9 +326,18 @@ def _run_window_kernel(origins, ay, ax, atlas, pooled: int, wy: int,
     dtype downstream is bf16 anyway."""
     n = ay.shape[0]
     c = atlas.shape[-1]
-    cblock = 256 if c % 256 == 0 else CBLOCK
+    cblock = _pick_cblock(c, atlas.dtype, cblock_cap)
     assert c % cblock == 0, f"C={c} must be a multiple of {cblock}"
     nc = c // cblock
+    # Very tall windows blow Mosaic's scoped-vmem stack (measured: a
+    # (208, 32) bf16 window demands 16.16 MB at depth 1; (176, 32) fits)
+    # — stream them in row chunks with f32 accumulation instead.
+    itemsize = jnp.dtype(atlas.dtype).itemsize
+    if wy * itemsize > 352:
+        wy_chunk = 112 if itemsize == 2 else 56
+        return _run_ychunk_kernel(origins, ay, ax, atlas, pooled, wy, wx,
+                                  interpret, out_dtype, min(depth, 2),
+                                  cblock, wy_chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n, nc),
@@ -238,7 +396,9 @@ def roi_align_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
     # whole-image roi (the most common large box) then never triggers the
     # fallback — at 800 scale the C4 map is 52x88, past the default 64.
     need = -(-max(h, w) // 8) * 8
-    if need > window and 2 * need * need * 256 * 2 <= 14 * 2**20:
+    cb = _pick_cblock(c, feat.dtype)
+    if (need > window
+            and 2 * need * need * cb * feat.dtype.itemsize <= 14 * 2**20):
         window = need
     depth = 2 if window > 64 else DEPTH
     x1 = rois[:, 0] * spatial_scale
@@ -249,15 +409,19 @@ def roi_align_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
     rh = jnp.maximum(y2 - y1, 1.0)
 
     # Window origin: floor(start) - 1, clamped so the window stays in-map;
-    # callers' maps smaller than the window are padded below.
+    # callers' maps smaller than the window are padded below. Tall grown
+    # windows run y-chunked, whose DMA overscans past the window — pad
+    # extra zero rows to cover it.
     pady = max(window - h, 0)
     padx = max(window - w, 0)
-    if pady or padx:
-        feat = jnp.pad(feat, ((0, pady), (0, padx), (0, 0)))
-    oy = jnp.clip(jnp.floor(y1).astype(jnp.int32) - 1, 0,
-                  max(h + pady - window, 0))
-    ox = jnp.clip(jnp.floor(x1).astype(jnp.int32) - 1, 0,
-                  max(w + padx - window, 0))
+    oy_max = max(h + pady - window, 0)
+    ox_max = max(w + padx - window, 0)
+    overscan = max(oy_max + _ychunk_pad(window, feat.dtype.itemsize)
+                   - (h + pady), 0)
+    if pady or padx or overscan:
+        feat = jnp.pad(feat, ((0, pady + overscan), (0, padx), (0, 0)))
+    oy = jnp.clip(jnp.floor(y1).astype(jnp.int32) - 1, 0, oy_max)
+    ox = jnp.clip(jnp.floor(x1).astype(jnp.int32) - 1, 0, ox_max)
     # The W axis is the sublane dim of the (8, 128)-tiled HBM layout: DMA
     # slice starts must be 8-aligned; floor-align costs <= 7 px of window.
     ox = (ox // 8) * 8
@@ -279,7 +443,7 @@ def roi_align_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
                 | _window_exceeded(x1, rw, w, ox, pooled, sampling_ratio,
                                    window))
 
-    feat_t = feat[:h, :w] if (pady or padx) else feat
+    feat_t = feat[:h, :w]
 
     def _fix(o):
         exact = roi_align(feat_t.astype(jnp.float32), rois, spatial_scale,
@@ -330,11 +494,6 @@ def roi_align_pyramid_pallas(feats, rois: jnp.ndarray, strides,
     hs = jnp.asarray(hs_lvl)[li]
     ws = jnp.asarray(ws_lvl)[li]
 
-    # --- build the atlas: levels x-padded to a common width, images and
-    # levels stacked along rows, plus an end pad so window DMAs of bands
-    # shorter than the window never run off the array.
-    aw = -(-max(int(ws_lvl.max()), wx) // 8) * 8
-
     def _rup8(v: int) -> int:
         return -(-int(v) // 8) * 8
 
@@ -344,6 +503,10 @@ def roi_align_pyramid_pallas(feats, rois: jnp.ndarray, strides,
     # P5) — so grow the main window to band + origin slack when needed.
     wy = max(wy, _rup8(hs_lvl[-1] + 4))
     wx = max(wx, _rup8(ws_lvl[-1] + 12))
+    # Atlas width AFTER growing wx (ADVICE r2: pre-growth aw could leave
+    # the atlas narrower than the main window for exotic pyramids, letting
+    # window DMAs run past the x extent).
+    aw = _rup8(max(int(ws_lvl.max()), wx))
     # Window shapes for the aspect-outlier passes (see below). At interior
     # levels the invariant holds, so a roi exceeding the main window on
     # one axis is SHORT on the other: wide rois (rw > wx-11) have
@@ -353,7 +516,11 @@ def roi_align_pyramid_pallas(feats, rois: jnp.ndarray, strides,
     wy_wide, wx_wide = 24, aw
     wy_tall = _rup8(int(hs_lvl.max()))
     wx_tall = 32
-    end_pad = max(wy, wy_tall)
+
+    # End pad covers the y-chunk-padded window height (chunked tall
+    # windows DMA up to nyc*wy_chunk rows past their origin).
+    isz = jnp.dtype(feats[0].dtype).itemsize
+    end_pad = max(_ychunk_pad(wy, isz), _ychunk_pad(wy_tall, isz))
     atlas_parts = [
         jnp.pad(f, ((0, 0), (0, 0), (0, aw - f.shape[2]), (0, 0)))
         .reshape(-1, aw, f.shape[3]) for f in feats
@@ -427,7 +594,8 @@ def roi_align_pyramid_pallas(feats, rois: jnp.ndarray, strides,
                                     wx_p).astype(atlas.dtype)
             op = _run_window_kernel(org, ay_p, ax_p, atlas, pooled, wy_p,
                                     wx_p, interpret,
-                                    out_dtype=atlas.dtype, depth=2)
+                                    out_dtype=atlas.dtype, depth=2,
+                                    cblock_cap=128)
             return o.at[idx].set(
                 jnp.where(sel[:, None, None, None],
                           op.astype(o.dtype), o[idx]))
@@ -456,9 +624,11 @@ def roi_align_pyramid_pallas(feats, rois: jnp.ndarray, strides,
 
     # --- guaranteed-exact fallback for anything the passes could not
     # cover (bucket overflow, or exotic configs violating the rw*rh
-    # bound): the XLA gather path on the same band geometry — shifting a
-    # roi's y by (image index) x (padded image height) lands it in its
-    # own band at EVERY level simultaneously (PH / 2^l == h_l).
+    # bound): per-image vmap of the exact XLA gather path. (ADVICE r2: an
+    # earlier draft stacked images into bands and y-shifted the rois, but
+    # the gather clamps against the STACKED height, so bottom-edge rois of
+    # non-last images blended the next image's first row — vmap keeps each
+    # image's clamp exact.)
     def _exceeds(flag, wy_p, wx_p):
         oy_p, ox_p = _pass_local_origins(jnp.arange(n), wy_p, wx_p)
         bad = (_window_exceeded(y1, rh, hs_f, oy_p, pooled,
@@ -471,17 +641,17 @@ def roi_align_pyramid_pallas(feats, rois: jnp.ndarray, strides,
     residual = ((cnt_w > capw2) | (cnt_t > cap_t)
                 | jnp.any(_exceeds(wide, wy_wide, wx_wide))
                 | jnp.any(_exceeds(tall, wy_tall, wx_tall)))
-    ph_img = float(hs_lvl[0] * strides[0])
-    band_feats = [f.reshape(-1, f.shape[2], f.shape[3]).astype(jnp.float32)
-                  for f in feats]
+    feats_f32 = tuple(f.astype(jnp.float32) for f in feats)
 
     def _fix_all(o):
-        exact = roi_align_pyramid(
-            band_feats,
-            rois_flat + (img_idx.astype(jnp.float32) * ph_img)[:, None]
-            * jnp.asarray([0.0, 1.0, 0.0, 1.0]),
-            strides, k_min, k_max, pooled, sampling_ratio, canonical_scale,
-            canonical_level)
+        def per_image(fs, rr):
+            return roi_align_pyramid(
+                list(fs), rr, strides, k_min, k_max, pooled,
+                sampling_ratio, canonical_scale, canonical_level)
+
+        exact = jax.vmap(per_image)(
+            feats_f32, rois_flat.reshape(b, -1, 4)
+        ).reshape(n, pooled, pooled, c)
         return jnp.where(oversize[:, None, None, None], exact, o)
 
     out = jax.lax.cond(residual, _fix_all, lambda o: o, out)
