@@ -409,3 +409,64 @@ def test_load_detectron_pkl(tmp_path, rng):
     loaded = Z.load_detectron_pkl(str(p))
     assert set(loaded) == {"conv1_w"}
     np.testing.assert_array_equal(loaded["conv1_w"], bl["conv1_w"])
+
+
+# ---------------------------------------------------------------------------
+# Key-coverage report (VERDICT r2 #7; reference: detectron_weight_helper.py
+# name mapping — dialect drift must be diagnosable, not an opaque KeyError)
+# ---------------------------------------------------------------------------
+
+
+def test_coverage_report_torchvision_backbone(rng):
+    """Backbone-only import: classifier blobs unconsumed, head params
+    unfilled, every backbone leaf filled — all listed by name."""
+    import jax
+
+    from vosdetectron_tpu.models.resnet import ResNetBody
+
+    sd = Z.RecordingSource(make_tv_resnet50_sd(rng))
+    sd["fc.weight"] = rng.randn(1000, 2048).astype(np.float32)
+    sd["fc.bias"] = np.zeros(1000, np.float32)
+    sd.consumed.clear()  # the two setup writes above are not importer reads
+
+    imported = Z.import_torchvision_resnet(sd, 50)
+    body = ResNetBody(depth=50, stages_out=(2, 3, 4, 5), freeze_at=0,
+                      stride_1x1=False)
+    init = body.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 64, 64, 3)))["params"]
+    rep = Z.coverage_report(init, imported, sd)
+    # the ImageNet classifier head is not part of the detector
+    assert "fc.weight" in rep["unconsumed_keys"]
+    assert "fc.bias" in rep["unconsumed_keys"]
+    # every backbone leaf is filled; nothing else is left at init
+    assert rep["n_filled"] == rep["n_model"]
+    assert rep["unfilled_params"] == []
+    txt = Z.format_coverage_report(rep)
+    assert "fc.weight" in txt
+
+
+def test_coverage_report_flags_drifted_pkl_blob(rng):
+    """A blob the importer never reads (naming drift / extra key) must be
+    reported; a fully-covered import reports full coverage."""
+    import jax
+
+    from vosdetectron_tpu.models.generalized_rcnn import (GeneralizedRCNN,
+                                                          init_model_params)
+
+    cfg = apply_overrides(Config(), [
+        ("model.num_classes", 4),
+        ("rpn.pre_nms_top_n_test", 32),
+        ("rpn.post_nms_top_n_test", 16),
+        ("test.padded_image_size", (128, 192)),
+    ]).validate()
+    model = GeneralizedRCNN(cfg)
+    init = init_model_params(model, jax.random.PRNGKey(0), (128, 192))
+
+    blobs = make_detectron_pkl_blobs(rng, cfg, 4)
+    blobs["conv_rpn_w_DRIFTED"] = np.zeros((1,), np.float32)
+    src = Z.RecordingSource(blobs)
+    imported = Z.import_detectron_pkl(src, cfg)
+    rep = Z.coverage_report(init, imported, src)
+    assert "conv_rpn_w_DRIFTED" in rep["unconsumed_keys"]
+    assert len(rep["unconsumed_keys"]) == 1, rep["unconsumed_keys"]
+    assert rep["unfilled_params"] == [], rep["unfilled_params"]

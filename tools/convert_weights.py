@@ -24,6 +24,10 @@ def main():
                    choices=["torchvision", "detectron_pytorch",
                             "detectron_pkl"])
     p.add_argument("--out", required=True, help="output checkpoint dir")
+    p.add_argument("--report", action="store_true",
+                   help="print a key-coverage report: model params the "
+                        "import left at init + checkpoint blobs it never "
+                        "consumed (dialect-drift diagnosis)")
     args = p.parse_args()
     cfg = load_cfg(args)
 
@@ -33,6 +37,7 @@ def main():
     from vosdetectron_tpu.models.generalized_rcnn import (GeneralizedRCNN,
                                                           init_model_params)
     from vosdetectron_tpu.zoo.torch_import import (
+        RecordingSource, coverage_report, format_coverage_report,
         import_detectron_pkl, import_detectron_pytorch,
         import_torchvision_resnet, load_detectron_pkl,
         load_torch_checkpoint, merge_params)
@@ -41,18 +46,20 @@ def main():
     params = init_model_params(model, jax.random.PRNGKey(0),
                                cfg.test.padded_image_size)
     if args.dialect == "torchvision":
-        sd = load_torch_checkpoint(args.torch_ckpt)
+        sd = RecordingSource(load_torch_checkpoint(args.torch_ckpt))
         depth = 101 if "101" in cfg.model.conv_body else 50
         imported = {"body": import_torchvision_resnet(sd, depth)}
         print("NOTE: torchvision ResNets use stride-on-3x3 "
               "(set resnets accordingly / stride_1x1=False)")
     elif args.dialect == "detectron_pkl":
-        imported = import_detectron_pkl(
-            load_detectron_pkl(args.torch_ckpt), cfg)
+        sd = RecordingSource(load_detectron_pkl(args.torch_ckpt))
+        imported = import_detectron_pkl(sd, cfg)
     else:
-        imported = import_detectron_pytorch(
-            load_torch_checkpoint(args.torch_ckpt), cfg)
+        sd = RecordingSource(load_torch_checkpoint(args.torch_ckpt))
+        imported = import_detectron_pytorch(sd, cfg)
     merged = merge_params(params, imported)
+    if args.report:
+        print(format_coverage_report(coverage_report(params, imported, sd)))
 
     ckptr = ocp.StandardCheckpointer()
     import os

@@ -4,13 +4,12 @@ TPU-native rebuild of the reference's test engine
 (reference: lib/core/test_engine.py ~350 LoC run_inference /
 test_net_on_dataset + lib/utils/subprocess.py per-GPU forks).
 
-The reference forks one subprocess per GPU over image ranges; here frames
-are batched through the single jitted detector in one process. For
-multi-HOST runs, pass process_index/process_count (or rely on the
-jax.process_* defaults) to evaluate a strided image shard per host —
-each host then holds a partial evaluator whose summary covers its shard;
-cross-host aggregation of the raw match lists is the caller's choice
-(the reference merged per-GPU detection pickles the same way).
+The reference forks one subprocess per GPU over image ranges and merges
+their detection pickles into one result; here frames are batched through
+the single jitted detector per process, each process evaluates a strided
+image shard, and the per-process evaluators' raw match lists are
+all-gathered over the jax.distributed fabric and merged
+(CocoEvaluator.merge) so every process reports the full-dataset summary.
 """
 
 from __future__ import annotations
@@ -30,8 +29,15 @@ def evaluate_coco(detector: Detector, dataset: CocoDataset,
                   batch_size: int = 8,
                   with_masks: bool = True,
                   process_index: Optional[int] = None,
-                  process_count: Optional[int] = None) -> Dict[str, float]:
-    """Run the detector over a CocoDataset and compute bbox (+segm) AP."""
+                  process_count: Optional[int] = None,
+                  merge_processes: bool = True) -> Dict[str, float]:
+    """Run the detector over a CocoDataset and compute bbox (+segm) AP.
+
+    Multi-host: each process evaluates a strided image shard; with
+    merge_processes (default) the per-process evaluators' match lists are
+    all-gathered and merged so EVERY process returns the full-dataset
+    summary (reference: test_engine.py merged per-GPU detection pickles
+    into one result, SURVEY.md:131)."""
     import jax
     import jax.numpy as jnp
 
@@ -103,6 +109,12 @@ def evaluate_coco(detector: Detector, dataset: CocoDataset,
                                   ex.boxes, ex.classes, ex.iscrowd,
                                   det_masks=det_masks, gt_masks=gt_masks)
 
+    if merge_processes and pc > 1 and process_index is None:
+        # (explicit process_index means the caller simulates sharding in
+        # one process — gathering would deadlock or double-count)
+        ev_box = ev_box.merge_across_processes()
+        if ev_segm is not None:
+            ev_segm = ev_segm.merge_across_processes()
     out = {"bbox": ev_box.summarize()}
     if ev_segm is not None:
         out["segm"] = ev_segm.summarize()

@@ -560,7 +560,8 @@ def run_sequences_sharded(engine: VOSEngine, frames: np.ndarray,
 def run_davis_dataset(engine: VOSEngine, davis_root: str,
                       split: str = "val", out_dir: Optional[str] = None,
                       max_sequences: Optional[int] = None,
-                      evaluate: bool = True):
+                      evaluate: bool = True,
+                      merge_processes: bool = True):
     """Dataset-level VOS: run every sequence, export PNGs, optionally score.
 
     (reference: the VOS infer tool + DAVIS evaluator, SURVEY.md §3.3)
@@ -569,9 +570,16 @@ def run_davis_dataset(engine: VOSEngine, davis_root: str,
     track state initialized on background threads while the TPU scans
     sequence i (the uploads are the critical resource on a tunnel-attached
     host); PNG export also runs off the critical path.
+
+    Multi-host: each process runs a strided sequence shard; with
+    merge_processes the per-sequence results are all-gathered so every
+    process returns the SAME complete per-sequence table + aggregate
+    (reference: test_engine.py per-GPU shard merge, SURVEY.md:131).
     """
     import os
     from concurrent.futures import ThreadPoolExecutor
+
+    import jax
 
     from ..data.davis import (DavisCatalog, read_indexed_png,
                               read_sequence_frames, write_sequence_pngs)
@@ -581,6 +589,9 @@ def run_davis_dataset(engine: VOSEngine, davis_root: str,
     names = cat.split_sequences(split)
     if max_sequences:
         names = names[:max_sequences]
+    pc = jax.process_count()
+    if pc > 1:
+        names = names[jax.process_index()::pc]
 
     seqs = [cat.sequence(n) for n in names]
     prefetch_pool = ThreadPoolExecutor(max_workers=1)
@@ -618,6 +629,13 @@ def run_davis_dataset(engine: VOSEngine, davis_root: str,
         gts = [read_indexed_png(p) for p in seq.anno_paths]
         if len(gts) == len(all_preds[name]):
             per_seq[name] = evaluate_sequence(all_preds[name], gts)
+    if merge_processes and pc > 1:
+        from ..parallel.gather import allgather_object
+
+        merged: dict = {}
+        for shard in allgather_object(per_seq):
+            merged.update(shard)
+        per_seq = merged
     return per_seq, evaluate_dataset(per_seq)
 
 

@@ -211,6 +211,53 @@ class CocoEvaluator:
                 self._per_image[(c, area)].append((scores, tp, ig))
                 self._ngt[(c, area)] += int((~gt_ig).sum())
 
+    def merge(self, other: "CocoEvaluator") -> "CocoEvaluator":
+        """Fold another evaluator's accumulated per-image match lists into
+        this one (reference: test_engine.py merges per-GPU detection
+        pickles into ONE result, SURVEY.md:131). Order-insensitive for the
+        final metrics: _accumulate globally re-sorts by score."""
+        assert self.iou_type == other.iou_type, "cannot merge bbox w/ segm"
+        assert self.max_dets == other.max_dets
+        for key, entries in other._per_image.items():
+            self._per_image[key].extend(entries)
+        for key, n in other._ngt.items():
+            self._ngt[key] += n
+        self._cats |= other._cats
+        return self
+
+    def state(self) -> dict:
+        """Picklable snapshot for cross-process transport."""
+        return {
+            "iou_type": self.iou_type,
+            "max_dets": self.max_dets,
+            "per_image": dict(self._per_image),
+            "ngt": dict(self._ngt),
+            "cats": set(self._cats),
+        }
+
+    @classmethod
+    def from_state(cls, st: dict) -> "CocoEvaluator":
+        ev = cls(st["iou_type"], st["max_dets"])
+        ev._per_image.update(st["per_image"])
+        ev._ngt.update(st["ngt"])
+        ev._cats |= st["cats"]
+        return ev
+
+    def merge_across_processes(self) -> "CocoEvaluator":
+        """All-gather evaluator shards over jax processes and merge; every
+        process returns the SAME complete evaluator. No-op single-process."""
+        import jax
+
+        if jax.process_count() <= 1:
+            return self
+        from ..parallel.gather import allgather_object
+
+        states = allgather_object(self.state())
+        merged = CocoEvaluator.from_state(states[0])
+        for st in states[1:]:
+            merged.merge(CocoEvaluator.from_state(st))
+        return merged
+
     def _accumulate(self, c: int, area: str, k: int):
         """Concat per-image top-k prefixes, globally score-sorted.
         Returns (tp (T, D), ig (T, D), n_gt)."""

@@ -39,10 +39,48 @@ def _seg2bmap(seg: np.ndarray) -> np.ndarray:
     return b & seg | (b & ~seg)  # boundary pixels on either side
 
 
+def _bipartite_boundary_counts(fg: np.ndarray, gb: np.ndarray,
+                               radius: float):
+    """One-to-one boundary correspondence (the original BSDS
+    `correspond_pixels` semantics): maximum bipartite matching between
+    pred and gt boundary pixels under a Euclidean distance cap. Returns
+    the number of matched pairs. The dilation shortcut (official
+    davis2017-evaluation python code) allows many-to-one matches and so
+    upper-bounds this."""
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import maximum_bipartite_matching
+    from scipy.spatial import cKDTree
+
+    p_xy = np.argwhere(fg)
+    g_xy = np.argwhere(gb)
+    if not len(p_xy) or not len(g_xy):
+        return 0
+    pairs = cKDTree(p_xy).query_ball_tree(cKDTree(g_xy), r=radius)
+    rows = np.concatenate([np.full(len(js), i, np.int32)
+                           for i, js in enumerate(pairs)]) \
+        if any(len(js) for js in pairs) else np.zeros((0,), np.int32)
+    cols = np.concatenate([np.asarray(js, np.int32) for js in pairs]) \
+        if len(rows) else np.zeros((0,), np.int32)
+    if not len(rows):
+        return 0
+    graph = csr_matrix((np.ones(len(rows), np.int8), (rows, cols)),
+                       shape=(len(p_xy), len(g_xy)))
+    match = maximum_bipartite_matching(graph, perm_type="column")
+    return int((match >= 0).sum())
+
+
 def boundary_f_measure(pred: np.ndarray, gt: np.ndarray,
-                       bound_th: float = 0.008) -> float:
+                       bound_th: float = 0.008,
+                       exact: bool = False) -> float:
     """db_eval_boundary: precision/recall of boundary pixels within a
-    tolerance radius (0.008 * image diagonal), via dilation matching."""
+    tolerance radius (0.008 * image diagonal).
+
+    exact=False (default) uses dilation matching — the official
+    davis2017-evaluation python implementation's semantics (many-to-one
+    matches allowed). exact=True runs the original BSDS one-to-one
+    bipartite matching, which is stricter; measured delta on synthetic
+    sequences is <= ~0.02 F for clean single boundaries and grows with
+    fragmented/doubled boundaries (see tests/test_data_metrics.py)."""
     import cv2
 
     pred = pred.astype(bool)
@@ -54,17 +92,22 @@ def boundary_f_measure(pred: np.ndarray, gt: np.ndarray,
 
     h, w = pred.shape
     radius = max(1, int(np.ceil(bound_th * np.sqrt(h * h + w * w))))
-    kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE,
-                                       (2 * radius + 1, 2 * radius + 1))
     fg = _seg2bmap(pred)
     gb = _seg2bmap(gt)
-    fg_dil = cv2.dilate(fg.astype(np.uint8), kernel).astype(bool)
-    gb_dil = cv2.dilate(gb.astype(np.uint8), kernel).astype(bool)
-
     n_fg = fg.sum()
     n_gb = gb.sum()
-    precision = (fg & gb_dil).sum() / n_fg if n_fg else 1.0
-    recall = (gb & fg_dil).sum() / n_gb if n_gb else 1.0
+
+    if exact:
+        m = _bipartite_boundary_counts(fg, gb, radius)
+        precision = m / n_fg if n_fg else 1.0
+        recall = m / n_gb if n_gb else 1.0
+    else:
+        kernel = cv2.getStructuringElement(
+            cv2.MORPH_ELLIPSE, (2 * radius + 1, 2 * radius + 1))
+        fg_dil = cv2.dilate(fg.astype(np.uint8), kernel).astype(bool)
+        gb_dil = cv2.dilate(gb.astype(np.uint8), kernel).astype(bool)
+        precision = (fg & gb_dil).sum() / n_fg if n_fg else 1.0
+        recall = (gb & fg_dil).sum() / n_gb if n_gb else 1.0
     if precision + recall == 0:
         return 0.0
     return float(2 * precision * recall / (precision + recall))

@@ -140,7 +140,7 @@ def import_detectron_pytorch(sd: Mapping[str, np.ndarray], cfg) -> Dict:
       Box_Outs.cls_score / bbox_pred
       Mask_Head.conv_fcn.{0,2,4,6} / upconv ; Mask_Outs.classify
     """
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    sd = _as_arrays(sd)
     is_fpn = cfg.fpn.enabled
     body: Dict = {"stem": {
         "conv1": {"kernel": _t_conv(sd["Conv_Body.res1.conv1.weight"])},
@@ -258,7 +258,7 @@ def import_detectron_pkl(blobs: Mapping[str, np.ndarray], cfg) -> Dict:
         (Res5RoIHead), cls_score/bbox_pred outputs.
     Mask head (v1up4convs): _[mask]_fcn1..4, conv5_mask, mask_fcn_logits.
     """
-    bl = {k: np.asarray(v) for k, v in blobs.items()}
+    bl = _as_arrays(blobs)
     depth = 101 if "101" in cfg.model.conv_body else 50
     blocks = _STAGE_BLOCKS[depth]
     is_fpn = cfg.fpn.enabled
@@ -340,6 +340,84 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
         if isinstance(ckpt, dict) else ckpt
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
             for k, v in sd.items()}
+
+
+def _as_arrays(sd: Mapping) -> Mapping:
+    """Numpy-ify values, preserving a RecordingSource wrapper (sharing its
+    consumed set) so importers' internal re-wraps keep recording."""
+    data = {k: np.asarray(v) for k, v in sd.items()}
+    if isinstance(sd, RecordingSource):
+        out = RecordingSource(data)
+        out.consumed = sd.consumed
+        return out
+    return data
+
+
+class RecordingSource(dict):
+    """Checkpoint-blob dict that records which keys an importer actually
+    reads — the raw material of the key-coverage report (VERDICT r2 #7:
+    when a real checkpoint's naming drifts from the reconstructed mapping,
+    the report turns an opaque KeyError into a 2-minute diagnosis).
+    Membership tests don't count as consumption; reads do."""
+
+    def __init__(self, data):
+        super().__init__(data)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        v = super().__getitem__(k)
+        self.consumed.add(k)
+        return v
+
+    def get(self, k, default=None):
+        if k in self:
+            return self[k]
+        return default
+
+
+def _leaf_paths(tree, prefix=""):
+    out = []
+    if isinstance(tree, Mapping):
+        for k in sorted(tree):
+            out.extend(_leaf_paths(tree[k], f"{prefix}/{k}" if prefix
+                                   else str(k)))
+    else:
+        out.append(prefix)
+    return out
+
+
+def coverage_report(model_params: Dict, imported: Dict,
+                    source: "RecordingSource") -> Dict:
+    """Importer diagnosis (reference: detectron_weight_helper.py name
+    mapping, SURVEY.md:137): which model leaves the import filled, which
+    it left at init, and which checkpoint blobs it never consumed."""
+    model_leaves = set(_leaf_paths(model_params))
+    filled = set(_leaf_paths(imported))
+    return {
+        "filled": sorted(filled),
+        "unfilled_params": sorted(model_leaves - filled),
+        "unconsumed_keys": sorted(set(source) - source.consumed),
+        "n_model": len(model_leaves),
+        "n_filled": len(filled),
+        "n_source": len(source),
+        "n_consumed": len(source.consumed),
+    }
+
+
+def format_coverage_report(rep: Dict) -> str:
+    lines = [
+        f"model leaves filled: {rep['n_filled']}/{rep['n_model']}",
+        f"checkpoint blobs consumed: {rep['n_consumed']}/{rep['n_source']}",
+    ]
+    if rep["unfilled_params"]:
+        lines.append("-- model params left at init:")
+        lines += [f"   {p}" for p in rep["unfilled_params"]]
+    if rep["unconsumed_keys"]:
+        lines.append("-- checkpoint keys not consumed:")
+        lines += [f"   {k}" for k in rep["unconsumed_keys"]]
+    if not rep["unfilled_params"] and not rep["unconsumed_keys"]:
+        lines.append("full bidirectional coverage")
+    return "\n".join(lines)
 
 
 def merge_params(init_params: Dict, imported: Dict) -> Dict:
