@@ -1,0 +1,154 @@
+"""Confidence-gated detection-track association (VERDICT r2 #3).
+
+The reference's association overwrites a track's mask with the matched
+detection's mask unconditionally; the gated update blends by relative
+confidence so a weak detection cannot destroy a confident propagated mask
+(reference: fork-added association module, SURVEY.md:133 — propagated-mask
+IoU + embedding matching with spawn/retire).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vosdetectron_tpu.config import Config, apply_overrides
+from vosdetectron_tpu.models.propagation import (TrackState,
+                                                 associate_and_update,
+                                                 empty_track_state)
+
+
+def make_cfg(**vos_over):
+    over = [("vos.max_tracks", 4), ("vos.track_mask_size", (16, 24)),
+            ("vos.emb_dim", 8), ("vos.assoc_score_thresh", 0.1)]
+    over += [(f"vos.{k}", v) for k, v in vos_over.items()]
+    return apply_overrides(Config(), over).validate()
+
+
+def seeded_state(cfg, mask, score=0.9):
+    st = empty_track_state(cfg, 8)
+    return TrackState(
+        masks=st.masks.at[0].set(mask),
+        emb=st.emb.at[0, 0].set(1.0),
+        alive=st.alive.at[0].set(True),
+        miss=st.miss,
+        score=st.score.at[0].set(score),
+        obj_id=st.obj_id.at[0].set(1),
+        pfeat=None)
+
+
+def det_inputs(cfg, mask, score):
+    d = cfg.vos.max_dets_per_frame
+    mh, mw = cfg.vos.track_mask_size
+    masks = jnp.zeros((d, mh, mw)).at[0].set(mask)
+    emb = jnp.zeros((d, 8)).at[0, 0].set(1.0)
+    scores = jnp.zeros((d,)).at[0].set(score)
+    valid = jnp.zeros((d,), bool).at[0].set(True)
+    return masks, emb, scores, valid
+
+
+def square_mask(cfg, x0, x1):
+    mh, mw = cfg.vos.track_mask_size
+    m = np.zeros((mh, mw), np.float32)
+    m[4:12, x0:x1] = 1.0
+    return jnp.asarray(m)
+
+
+def test_weak_detection_below_floor_keeps_propagated_mask():
+    cfg = make_cfg(assoc_det_floor=0.3)
+    prop = square_mask(cfg, 4, 16)
+    det = square_mask(cfg, 8, 20)  # overlaps but shifted
+    st = seeded_state(cfg, prop, score=0.9)
+    dm, de, ds, dv = det_inputs(cfg, det, score=0.2)  # below floor
+    out = associate_and_update(cfg, st, dm, de, ds, dv, prop[None].repeat(
+        cfg.vos.max_tracks, 0) * st.alive[:, None, None])
+    np.testing.assert_allclose(np.asarray(out.masks[0]), np.asarray(prop),
+                               atol=1e-6)
+    assert int(out.miss[0]) == 0  # the match still resets miss
+    assert float(out.score[0]) > 0.8  # weak det must not collapse score
+
+
+def test_weak_detection_blends_mostly_propagated():
+    # agreement gate disabled ((0,0) ramp saturates at 1) to isolate the
+    # confidence blend
+    cfg = make_cfg(assoc_det_floor=0.0, assoc_blend_sharpness=2.0,
+                   assoc_agreement_gate=(0.0, 0.0))
+    prop = square_mask(cfg, 4, 16)
+    det = square_mask(cfg, 8, 20)
+    st = seeded_state(cfg, prop, score=0.9)
+    dm, de, ds, dv = det_inputs(cfg, det, score=0.4)
+    propagated = prop[None].repeat(cfg.vos.max_tracks, 0) \
+        * st.alive[:, None, None]
+    out = associate_and_update(cfg, st, dm, de, ds, dv, propagated)
+    m = np.asarray(out.masks[0])
+    # w_det = .4^2/(.4^2+.9^2) ~ 0.165: the region only the propagated
+    # mask covers keeps ~83% weight; det-only region gets ~17%.
+    w = 0.4 ** 2 / (0.4 ** 2 + 0.9 ** 2)
+    np.testing.assert_allclose(m[8, 5], 1.0 - w, atol=1e-3)
+    np.testing.assert_allclose(m[8, 18], w, atol=1e-3)
+
+
+def test_strong_agreeing_detection_on_weak_track_mostly_adopts_det():
+    cfg = make_cfg(assoc_det_floor=0.0, assoc_blend_sharpness=2.0)
+    prop = square_mask(cfg, 4, 16)
+    det = square_mask(cfg, 5, 17)  # near-identical: IoU 0.846 > gate hi
+    st = seeded_state(cfg, prop, score=0.3)
+    dm, de, ds, dv = det_inputs(cfg, det, score=0.95)
+    propagated = prop[None].repeat(cfg.vos.max_tracks, 0) \
+        * st.alive[:, None, None]
+    out = associate_and_update(cfg, st, dm, de, ds, dv, propagated)
+    m = np.asarray(out.masks[0])
+    w = 0.95 ** 2 / (0.95 ** 2 + 0.3 ** 2)
+    assert w > 0.9
+    np.testing.assert_allclose(m[8, 16], w, atol=1e-3)  # det-only column
+    assert float(out.score[0]) >= 0.95 - 1e-6  # strong det raises score
+
+
+def test_confident_but_contradicting_detection_is_ignored():
+    """The dominant failure mode with a weakly-generalizing detector:
+    a CONFIDENT detection whose mask contradicts a confident propagated
+    mask must not corrupt the track (agreement gate at work)."""
+    cfg = make_cfg(assoc_det_floor=0.0, assoc_score_thresh=0.0)
+    mh, mw = cfg.vos.track_mask_size
+    prop = square_mask(cfg, 2, 10)
+    det = jnp.zeros((mh, mw)).at[4:12, 12:20].set(1.0)  # overlap cols none
+    # soft IoU between prop ([4:12, 2:10]) and det ([4:12, 12:20]) is 0
+    st = seeded_state(cfg, prop, score=0.9)
+    dm, de, ds, dv = det_inputs(cfg, det, score=0.99)
+    propagated = prop[None].repeat(cfg.vos.max_tracks, 0) \
+        * st.alive[:, None, None]
+    out = associate_and_update(cfg, st, dm, de, ds, dv, propagated)
+    # whether or not the greedy match fired (emb sim can exceed the
+    # threshold), the mask must remain the propagated one
+    np.testing.assert_allclose(np.asarray(out.masks[0]), np.asarray(prop),
+                               atol=1e-6)
+    # and the embedding must not have moved toward the contradicting det
+    np.testing.assert_allclose(np.asarray(out.emb[0, 0]), 1.0, atol=1e-6)
+
+
+def test_blend_disabled_restores_reference_overwrite():
+    cfg = make_cfg(assoc_blend=False)
+    prop = square_mask(cfg, 4, 16)
+    det = square_mask(cfg, 8, 20)
+    st = seeded_state(cfg, prop, score=0.9)
+    dm, de, ds, dv = det_inputs(cfg, det, score=0.2)
+    propagated = prop[None].repeat(cfg.vos.max_tracks, 0) \
+        * st.alive[:, None, None]
+    out = associate_and_update(cfg, st, dm, de, ds, dv, propagated)
+    np.testing.assert_allclose(np.asarray(out.masks[0]), np.asarray(det),
+                               atol=1e-6)
+
+
+def test_max_spawn_config_honored():
+    cfg = make_cfg(semi_supervised=False, max_spawn=2,
+                   new_track_thresh=0.5)
+    st = empty_track_state(cfg, 8)
+    d = cfg.vos.max_dets_per_frame
+    mh, mw = cfg.vos.track_mask_size
+    masks = jnp.zeros((d, mh, mw))
+    for i in range(4):
+        masks = masks.at[i, 2 * i:2 * i + 2, :].set(1.0)
+    emb = jnp.zeros((d, 8)).at[:, 0].set(1.0)
+    scores = jnp.zeros((d,)).at[:4].set(0.9)
+    valid = jnp.zeros((d,), bool).at[:4].set(True)
+    out = associate_and_update(cfg, st, masks, emb, scores, valid,
+                               st.masks)
+    assert int(out.alive.sum()) == 2  # capped by max_spawn, not 4

@@ -222,6 +222,25 @@ class VOSCfg:
     assoc_iou_weight: float = 0.7
     assoc_emb_weight: float = 0.3
     assoc_score_thresh: float = 0.15
+    # Confidence-gated mask update (VERDICT r2 #3): blend a matched
+    # detection's mask with the propagated mask by relative confidence
+    # (det score vs track score) instead of overwriting — a weak
+    # detection must not destroy a confident propagated mask. False
+    # restores the reference-style unconditional overwrite.
+    assoc_blend: bool = True
+    assoc_blend_sharpness: float = 2.0  # power on the confidences
+    # Below this detection score the propagated mask is kept outright
+    # (the match still refreshes miss/embedding bookkeeping).
+    assoc_det_floor: float = 0.3
+    # Agreement gate: the matched detection's influence is scaled by a
+    # linear ramp on its mask-IoU with the PROPAGATED mask — a det that
+    # contradicts a confident propagation is ignored no matter how
+    # confident the detector is (confidence is uninformative when the
+    # detector is wrong-but-sure; agreement is not).
+    assoc_agreement_gate: Tuple[float, float] = (0.3, 0.7)
+    max_spawn: int = 4       # new tracks per frame (unsupervised mode)
+    emb_ema: float = 0.7     # appearance-embedding EMA keep fraction
+    score_decay: float = 0.95  # per-frame track-score decay when unmatched
     # Track state masks kept at low resolution for the scan carry.
     track_mask_size: Tuple[int, int] = (120, 216)
     emb_dim: int = 128

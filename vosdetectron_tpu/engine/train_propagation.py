@@ -110,8 +110,10 @@ class PropagationTrainer:
             feat_lr = jax.vmap(lambda f: jax.image.resize(
                 f.astype(jnp.bfloat16), (mh, mw, f.shape[-1]),
                 "linear"))(feat)
+            # unit-stds images for frame_input (matches engine/vos.py)
+            stds = jnp.asarray(cfg.data.pixel_stds, jnp.float32)
             img_lr = jax.vmap(lambda im: jax.image.resize(
-                im, (mh, mw, 3), "linear"))(imgs)
+                im, (mh, mw, 3), "linear"))(imgs) * stds
             return img_lr, feat_lr
 
         return fi

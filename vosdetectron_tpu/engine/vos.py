@@ -231,8 +231,12 @@ class VOSEngine:
 
         prop_inp = None
         if self.learned_prop:
+            # frame_input expects mean-subtracted UNIT-stds images (the
+            # head's own 1/64 scaling assumes it); undo cfg pixel_stds so
+            # one head checkpoint works under any preprocessing config.
+            stds = jnp.asarray(cfg.data.pixel_stds, jnp.float32)
             img_lr = jax.vmap(lambda im: jax.image.resize(
-                im, (mh, mw, 3), "linear"))(imgs)        # (C, mh, mw, 3)
+                im, (mh, mw, 3), "linear"))(imgs) * stds  # (C, mh, mw, 3)
             prop_inp = jax.vmap(
                 lambda i, f: self.prop_head.apply(
                     {"params": prop_params}, i, f,
@@ -348,7 +352,9 @@ class VOSEngine:
         emb = masked_embedding(feat_lr, gt_masks_lr)
         pfeat = None
         if self.learned_prop:
-            img_lr = jax.image.resize(image, (mh, mw, 3), "linear")
+            # unit-stds input for the head (see _detect_chunk)
+            img_lr = jax.image.resize(image, (mh, mw, 3), "linear") \
+                * jnp.asarray(cfg.data.pixel_stds, jnp.float32)
             pfeat = self.prop_head.apply(
                 {"params": prop_params}, img_lr, feat_lr,
                 method=PropagationHead.frame_input)
@@ -594,7 +600,11 @@ def run_davis_dataset(engine: VOSEngine, davis_root: str,
         names = names[jax.process_index()::pc]
 
     seqs = [cat.sequence(n) for n in names]
-    prefetch_pool = ThreadPoolExecutor(max_workers=1)
+    # 2-deep prefetch: keep >= 2 sequences' decodes + uploads in flight so
+    # a multi-second tunnel stall drains into queued work instead of
+    # leaving the device idle (VERDICT r2 #1).
+    depth = 2
+    prefetch_pool = ThreadPoolExecutor(max_workers=depth)
     write_pool = ThreadPoolExecutor(max_workers=2)
 
     def prefetch(i):
@@ -602,16 +612,15 @@ def run_davis_dataset(engine: VOSEngine, davis_root: str,
         gt0 = read_indexed_png(seqs[i].anno_paths[0])
         return engine.prepare_sequence(frames, gt0)
 
-    futures = {}
-    if seqs:
-        futures[0] = prefetch_pool.submit(prefetch, 0)
+    futures = {i: prefetch_pool.submit(prefetch, i)
+               for i in range(min(depth, len(seqs)))}
 
     all_preds = {}
     pending_writes = []
     for i, (name, seq) in enumerate(zip(names, seqs)):
         prepared = futures.pop(i).result()
-        if i + 1 < len(seqs):
-            futures[i + 1] = prefetch_pool.submit(prefetch, i + 1)
+        if i + depth < len(seqs):
+            futures[i + depth] = prefetch_pool.submit(prefetch, i + depth)
         preds = engine.run_sequence(None, prepared=prepared)
         all_preds[name] = preds
         if out_dir:

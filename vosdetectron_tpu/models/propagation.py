@@ -206,11 +206,13 @@ class PropagationHead(nn.Module):
                     feat_lr: jnp.ndarray) -> jnp.ndarray:
         """(mh, mw, 3) image + (mh, mw, C) features -> (mh, mw, 3+F).
 
-        Both inputs are brought to O(1) scale — the image arrives in
-        Detectron convention (mean-subtracted, stds=1, so values span
-        ±~150) and raw backbone features have arbitrary magnitude; without
-        this the flow/refine convs see exploding activations and training
-        diverges."""
+        Both inputs are brought to O(1) scale — the image MUST arrive in
+        mean-subtracted UNIT-stds units (values span ±~150; callers using
+        cfg.data.pixel_stds != 1 multiply the stds back — engine/vos.py)
+        and raw backbone features have arbitrary magnitude; without this
+        the flow/refine convs see exploding activations and training
+        diverges, and a head checkpoint silently stops working under a
+        different preprocessing config."""
         img = img_lr * (1.0 / 64.0)
         feat = self.feat_norm(self.proj(feat_lr))
         return jnp.concatenate([img, feat], axis=-1)
@@ -314,16 +316,50 @@ def associate_and_update(cfg: Config, state: TrackState,
 
     matched = match >= 0
     midx = jnp.maximum(match, 0)
-    new_masks = jnp.where(matched[:, None, None],
-                          det_masks_lr[midx], propagated)
-    # EMA on appearance; renormalize.
-    cand = 0.7 * state.emb + 0.3 * det_emb[midx]
+    if v.assoc_blend:
+        # Confidence- and agreement-gated blend (VERDICT r2 #3): the
+        # matched detection's mask influence is (a) its confidence
+        # RELATIVE to the track's, times (b) an agreement ramp on its
+        # IoU with the propagated mask. (a) stops weak detections from
+        # destroying confident propagated masks; (b) stops CONFIDENT-
+        # but-wrong detections (the dominant failure with a weakly-
+        # generalizing detector) — a det that contradicts propagation
+        # only refines it when they substantially agree.
+        det_conf = jnp.clip(det_scores[midx], 0.0, 1.0)
+        trk_conf = jnp.clip(state.score, 0.0, 1.0)
+        p = v.assoc_blend_sharpness
+        dp = det_conf ** p
+        w_det = dp / jnp.maximum(dp + trk_conf ** p, 1e-6)
+        w_det = jnp.where(det_conf < v.assoc_det_floor, 0.0, w_det)
+        lo, hi = v.assoc_agreement_gate
+        q = iou[jnp.arange(iou.shape[0]), midx]
+        agree = jnp.clip((q - lo) / max(hi - lo, 1e-6), 0.0, 1.0)
+        w_det = w_det * agree
+        w = jnp.where(matched, w_det, 0.0)
+        new_masks = (w[:, None, None] * det_masks_lr[midx]
+                     + (1.0 - w[:, None, None]) * propagated)
+    else:  # reference-style unconditional overwrite
+        w = jnp.where(matched, 1.0, 0.0)
+        new_masks = jnp.where(matched[:, None, None],
+                              det_masks_lr[midx], propagated)
+    # EMA on appearance, scaled by the same effective det weight;
+    # renormalize.
+    alpha = (1.0 - v.emb_ema) * w
+    cand = (1.0 - alpha[:, None]) * state.emb \
+        + alpha[:, None] * det_emb[midx]
     cand = cand / jnp.maximum(jnp.linalg.norm(cand, axis=-1, keepdims=True),
                               1e-6)
     new_emb = jnp.where(matched[:, None], cand, state.emb)
     new_miss = jnp.where(matched, 0, state.miss + state.alive.astype(
         jnp.int32))
-    new_score = jnp.where(matched, det_scores[midx], state.score * 0.95)
+    # Matched: a strong agreeing detection can raise the track score, but
+    # a weak or contradicting one must not collapse it (the old
+    # `new_score = det_score` let one bad frame reset a long track).
+    new_score = jnp.where(
+        matched,
+        jnp.maximum(jnp.where(w > 0, det_scores[midx], 0.0),
+                    state.score * v.score_decay),
+        state.score * v.score_decay)
     alive = state.alive & (new_miss <= v.miss_tolerance)
 
     state = TrackState(new_masks, new_emb, alive, new_miss, new_score,
@@ -343,7 +379,7 @@ def _spawn_tracks(cfg: Config, state: TrackState, det_masks_lr, det_emb,
     remaining candidate and the first free slot, fully fixed-shape.
     """
     v = cfg.vos
-    max_spawn = 4
+    max_spawn = v.max_spawn
     cand0 = jnp.where(spawnable & (det_scores > v.new_track_thresh),
                       det_scores, -jnp.inf)
 
