@@ -5,9 +5,20 @@ mask-propagate + indexed-PNG export — over 480p sequences, wall-clock
 frames/sec divided by chip count. Baseline (driver target): 60 f/s/chip.
 
 Uses the synthetic DAVIS tree when no real checkout exists (this machine has
-none — see SURVEY.md §0); detection quality is irrelevant to throughput.
+none — see SURVEY.md §0); detection quality is irrelevant to throughput, but
+WEIGHTS are not: an untrained RPN floods the RoIAlign kernel's outlier
+passes, so the bench loads the synthetic-DAVIS detector checkpoint — the
+full-precision local one if present, else the committed bf16 copy
+(zoo/detector_synthetic_bf16) so a fresh clone reproduces the same
+configuration (VERDICT r2 #6). The weights actually used are printed to
+stderr.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Rep protocol: the dataset is streamed CONTINUOUSLY for several laps with a
+cross-sequence prefetcher keeping uploads in flight across lap boundaries —
+a tunnel stall in lap k is absorbed by lap k+1's queued uploads, and
+best-of-laps samples the pipeline rather than the tunnel weather
+(VERDICT r2 #1). Prints ONE JSON line: {"metric", "value", "unit",
+"vs_baseline"}.
 """
 
 import json
@@ -23,6 +34,39 @@ if os.path.isdir(_axon) and _axon not in sys.path:
     sys.path.append(_axon)
 
 BASELINE_FPS = 60.0
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def load_detector_params():
+    """Trained synthetic-DAVIS detector: local f32 checkpoint if present,
+    else the committed bf16 copy (cast to f32). Returns (params, desc)."""
+    from vosdetectron_tpu.utils.checkpoint import load_params
+
+    local = os.path.join(REPO, "zoo", "detector_synthetic")
+    if os.path.isdir(local):
+        try:
+            return load_params(local), f"local f32 ckpt {local}"
+        except Exception as e:
+            log(f"bench: failed to load {local}: {e}")
+    packed = os.path.join(REPO, "zoo", "detector_synthetic_bf16")
+    if os.path.isdir(packed):
+        try:
+            import jax
+            import numpy as np
+
+            params = load_params(packed)
+            params = jax.tree_util.tree_map(
+                lambda x: np.asarray(x).astype(np.float32), params)
+            return params, f"committed bf16 ckpt {packed}"
+        except Exception as e:
+            log(f"bench: failed to load {packed}: {e}")
+    return None, "RANDOM INIT (no checkpoint found — throughput will not " \
+                 "be representative: untrained proposals flood the " \
+                 "RoIAlign outlier passes)"
 
 
 def main():
@@ -33,7 +77,8 @@ def main():
                                              materialize_synthetic_davis,
                                              read_image_bgr,
                                              read_indexed_png,
-                                             write_indexed_png)
+                                             read_sequence_frames,
+                                             write_sequence_pngs)
     from vosdetectron_tpu.engine.vos import VOSEngine
 
     davis_root = os.environ.get("DAVIS_ROOT", "")
@@ -60,59 +105,88 @@ def main():
         ("data.davis_root", davis_root),
     ]
 
-    # Shipped synthetic-DAVIS detector checkpoint: trained weights emit
-    # sane proposals (an untrained RPN floods the RoIAlign kernel's
-    # wide-sliver pass), making the bench representative of deployment.
-    # The checkpoint was trained with unit-variance preprocessing — the
-    # pixel_stds MUST match it (README: from-scratch training stds).
-    params = None
-    det_ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "zoo", "detector_synthetic")
-    if os.path.isdir(det_ckpt):
-        from vosdetectron_tpu.utils.checkpoint import load_params
-        try:
-            params = load_params(det_ckpt)
-            overrides.append(("data.pixel_stds", (57.375, 57.12, 58.395)))
-        except Exception:
-            params = None
+    params, desc = load_detector_params()
+    if params is not None:
+        # checkpoints were trained with unit-variance preprocessing — the
+        # pixel_stds MUST match (README: from-scratch training stds).
+        overrides.append(("data.pixel_stds", (57.375, 57.12, 58.395)))
+    log(f"bench: detector weights = {desc}")
     cfg = apply_overrides(Config(), overrides).validate()
 
     import jax
-
-    from vosdetectron_tpu.engine.vos import run_davis_dataset
 
     chips = jax.device_count()
     eng = VOSEngine(cfg, params=params, rng=0, chunk=16)
 
     cat = DavisCatalog(davis_root)
     names = cat.split_sequences("val")[:2]
+    seqs = [cat.sequence(n) for n in names]
     out_root = os.path.join(tempfile.gettempdir(), "bench_vos_out")
 
     # Warmup: compile the scan + init programs on a full-length sequence
     # (the persistent compile cache makes later processes skip this).
-    seq0 = cat.sequence(names[0])
+    seq0 = seqs[0]
     warm_frames = np.stack([read_image_bgr(p) for p in seq0.frame_paths])
     gt0 = read_indexed_png(seq0.anno_paths[0])
     eng.run_sequence(warm_frames, gt0)
 
-    # Timed: decode -> preprocess -> detect -> propagate -> PNG export.
-    # Best-of within a time budget: the host<->device tunnel on this
-    # machine swings 50-760 MB/s between multi-second phases; extra reps
-    # raise the chance of sampling the pipeline rather than the weather.
-    best_dt, total_frames = float("inf"), 0
-    budget_t0 = time.time()
-    for rep in range(6):
-        t0 = time.time()
-        all_preds, _ = run_davis_dataset(eng, davis_root, "val",
-                                         out_dir=out_root, evaluate=False)
-        dt = time.time() - t0
-        total_frames = sum(len(p) for p in all_preds.values())
-        best_dt = min(best_dt, dt)
-        if rep >= 2 and time.time() - budget_t0 > 90:
-            break
-    dt = best_dt
+    # Timed: continuous lap stream — decode -> preprocess -> upload ->
+    # detect -> propagate -> PNG export, with a 2-deep cross-sequence
+    # prefetcher that spans LAP boundaries (uploads for lap k+1 queue
+    # while lap k scans; a tunnel stall drains into queued work instead
+    # of dead time). Each lap is one pass over the dataset; best lap
+    # within the time budget is reported.
+    from concurrent.futures import ThreadPoolExecutor
 
-    fps_per_chip = total_frames / dt / chips
+    laps = int(os.environ.get("BENCH_LAPS", "8"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "120"))
+    min_laps = 3
+    stream = [(lap, i) for lap in range(laps) for i in range(len(seqs))]
+
+    prefetch_pool = ThreadPoolExecutor(max_workers=2)
+    write_pool = ThreadPoolExecutor(max_workers=2)
+
+    def prefetch(k):
+        _, i = stream[k]
+        frames = read_sequence_frames(seqs[i])
+        g0 = read_indexed_png(seqs[i].anno_paths[0])
+        return eng.prepare_sequence(frames, g0)
+
+    depth = 2
+    futures = {k: prefetch_pool.submit(prefetch, k)
+               for k in range(min(depth, len(stream)))}
+    lap_frames = {}
+    lap_t0 = {0: time.time()}
+    lap_times = []
+    pending = []
+    t_start = time.time()
+    for k, (lap, i) in enumerate(stream):
+        prepared = futures.pop(k).result()
+        if k + depth < len(stream):
+            futures[k + depth] = prefetch_pool.submit(prefetch, k + depth)
+        preds = eng.run_sequence(None, prepared=prepared)
+        pending.append(write_pool.submit(
+            write_sequence_pngs,
+            os.path.join(out_root, f"{names[i]}_{lap}"), preds))
+        lap_frames[lap] = lap_frames.get(lap, 0) + len(preds)
+        if i == len(seqs) - 1:  # lap boundary
+            for f in pending:
+                f.result()
+            pending = []
+            now = time.time()
+            lap_times.append((lap_frames[lap], now - lap_t0[lap]))
+            lap_t0[lap + 1] = now
+            done_laps = lap + 1
+            if done_laps >= min_laps and now - t_start > budget_s:
+                break
+    for f in futures.values():
+        f.cancel()
+    prefetch_pool.shutdown(wait=False)
+    write_pool.shutdown(wait=False)
+
+    per_lap = [fr / dt for fr, dt in lap_times]
+    log("bench: lap f/s = " + ", ".join(f"{v:.1f}" for v in per_lap))
+    fps_per_chip = max(per_lap) / chips
     print(json.dumps({
         "metric": "davis2017_480p_e2e_vos_throughput",
         "value": round(fps_per_chip, 2),

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Pipeline microbenchmark: decompose the VOS e2e throughput into its
+stages so the binding constraint is measurable, not guessed
+(VERDICT r2 #1: prove where the frames/sec go).
+
+Stages measured independently over the same 480p chunks:
+  decode    — JPEG read + BGR decode (host, per frame)
+  pack      — BGR -> packed yuv420 buffer (host, per frame)
+  upload    — device_put of packed chunks, N streams (tunnel bandwidth)
+  scan      — _scan_chunk on PRE-UPLOADED chunks (pure device rate)
+  e2e       — the composed pipeline (run_sequence)
+
+The e2e ceiling is min(scan, upload, decode+pack serialized on this host's
+cores); if e2e ~= that ceiling the pipeline is lossless and the residual
+gap to the 60 f/s target is the stage's irreducible cost on this host.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_axon = "/root/.axon_site"
+if os.path.isdir(_axon) and _axon not in sys.path:
+    sys.path.append(_axon)
+
+
+def main():
+    import numpy as np
+
+    from vosdetectron_tpu.config import Config, apply_overrides
+    from vosdetectron_tpu.data.davis import (DavisCatalog,
+                                             materialize_synthetic_davis,
+                                             read_image_bgr,
+                                             read_indexed_png)
+    from vosdetectron_tpu.engine.vos import VOSEngine, _to_yuv420_packed
+
+    import tempfile
+
+    davis_root = os.environ.get("DAVIS_ROOT", "")
+    if not davis_root or not os.path.isdir(davis_root):
+        davis_root = os.path.join(tempfile.gettempdir(),
+                                  "synthetic_davis_bench")
+        if not os.path.isdir(os.path.join(davis_root, "JPEGImages")):
+            materialize_synthetic_davis(
+                davis_root, {"bench_a": 0, "bench_b": 1}, num_frames=64,
+                size=(480, 854), num_objects=3)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import load_detector_params
+
+    overrides = [
+        ("model.num_classes", 2),
+        ("test.scale", 480), ("test.max_size", 864),
+        ("test.padded_image_size", (512, 896)),
+        ("test.detections_per_im", 32),
+        ("rpn.post_nms_top_n_test", 300),
+        ("rpn.min_size", 4.0),
+        ("fast_rcnn.roi_xform_method", "roi_align_pallas"),
+        ("vos.render_scale_den", 2),
+        ("data.davis_root", davis_root),
+    ]
+    params, desc = load_detector_params()
+    if params is not None:
+        overrides.append(("data.pixel_stds", (57.375, 57.12, 58.395)))
+    print(f"weights: {desc}", file=sys.stderr)
+    cfg = apply_overrides(Config(), overrides).validate()
+
+    import jax
+
+    eng = VOSEngine(cfg, params=params, rng=0, chunk=16)
+    device = jax.devices()[0]
+
+    cat = DavisCatalog(davis_root)
+    seq = cat.sequence(cat.split_sequences("val")[0])
+    paths = seq.frame_paths
+
+    # ---- decode
+    t0 = time.time()
+    frames = np.stack([read_image_bgr(p) for p in paths])
+    t_decode = time.time() - t0
+    t, h0, w0, _ = frames.shape
+    chunks = frames[: (t // 16) * 16].reshape(-1, 16, h0, w0, 3)
+
+    # ---- pack (yuv420)
+    t0 = time.time()
+    packed = [_to_yuv420_packed(c) for c in chunks]
+    t_pack = time.time() - t0
+
+    # ---- upload: N streams, M reps; measure sustained bandwidth
+    from concurrent.futures import ThreadPoolExecutor
+
+    nbytes = sum(p.nbytes for p in packed)
+    pool = ThreadPoolExecutor(max_workers=cfg.vos.upload_streams)
+    # warm the transfer path
+    jax.device_put(packed[0], device).block_until_ready()
+    reps = 4
+    t0 = time.time()
+    for _ in range(reps):
+        futs = [pool.submit(jax.device_put, p, device) for p in packed]
+        bufs = [f.result() for f in futs]
+        jax.block_until_ready(bufs)
+    t_upload = (time.time() - t0) / reps
+
+    # ---- scan on pre-uploaded chunks
+    gt0 = read_indexed_png(seq.anno_paths[0])
+    scale = eng._output_scale(h0, w0)
+    gt_lr, obj_ids = eng._gt_to_track_masks(gt0, scale)
+    import jax.numpy as jnp
+
+    state = eng._init_state(eng.params, jnp.asarray(frames[0]),
+                            jnp.asarray(gt_lr), scale,
+                            jnp.asarray(obj_ids), eng.prop_params)
+    state = jax.device_put(state, device)
+    den = max(cfg.vos.render_scale_den, 1)
+    ph, pw = cfg.test.padded_image_size
+    out_hw = (ph // den, pw // den)
+    # warm compile
+    st, ids = eng._scan_chunk(eng.params, state, scale, out_hw, bufs[0],
+                              eng.prop_params, (h0, w0))
+    jax.block_until_ready(ids)
+    n_scan_frames = len(bufs) * 16 * reps
+    t0 = time.time()
+    st = state
+    for _ in range(reps):
+        for b in bufs:
+            st, ids = eng._scan_chunk(eng.params, st, scale, out_hw, b,
+                                      eng.prop_params, (h0, w0))
+    jax.block_until_ready(ids)
+    t_scan = time.time() - t0
+
+    # ---- e2e (composed)
+    t0 = time.time()
+    preds = eng.run_sequence(frames, gt0)
+    t_e2e = time.time() - t0
+
+    n = chunks.shape[0] * 16
+    mbps = nbytes / t_upload / 2**20
+    rows = [
+        ("decode", t / t_decode),
+        ("pack", t / t_pack),
+        (f"upload ({mbps:.0f} MB/s)", n / t_upload),
+        ("scan (device only)", n_scan_frames / t_scan),
+        ("e2e run_sequence", len(preds) / t_e2e),
+    ]
+    print(f"{'stage':28s} frames/sec")
+    for name, v in rows:
+        print(f"{name:28s} {v:8.1f}")
+    bytes_per_frame = nbytes / n
+    print(f"bytes/frame (yuv420): {bytes_per_frame/1024:.0f} KiB")
+    print(f"upload-bound ceiling at this bandwidth: "
+          f"{mbps * 2**20 / bytes_per_frame:.1f} f/s")
+
+
+if __name__ == "__main__":
+    main()
