@@ -77,7 +77,6 @@ def main():
                                              materialize_synthetic_davis,
                                              read_image_bgr,
                                              read_indexed_png,
-                                             read_sequence_frames,
                                              write_sequence_pngs)
     from vosdetectron_tpu.engine.vos import VOSEngine
 
@@ -148,9 +147,8 @@ def main():
 
     def prefetch(k):
         _, i = stream[k]
-        frames = read_sequence_frames(seqs[i])
         g0 = read_indexed_png(seqs[i].anno_paths[0])
-        return eng.prepare_sequence(frames, g0)
+        return eng.prepare_sequence_from_files(seqs[i].frame_paths, g0)
 
     depth = 2
     futures = {k: prefetch_pool.submit(prefetch, k)

@@ -152,3 +152,37 @@ def test_max_spawn_config_honored():
     out = associate_and_update(cfg, st, masks, emb, scores, valid,
                                st.masks)
     assert int(out.alive.sum()) == 2  # capped by max_spawn, not 4
+
+
+def test_semi_supervised_tracks_never_retire():
+    """DAVIS semi-supervised protocol: the object set is fixed at frame 0,
+    so a detector dry spell longer than miss_tolerance must NOT retire the
+    track — it keeps propagating (a retired track could never return and
+    the object's J would be zero for the rest of the sequence)."""
+    cfg = make_cfg(miss_tolerance=3, semi_supervised=True)
+    mask = square_mask(cfg, 8, 16)
+    st = seeded_state(cfg, mask)
+    no_det = det_inputs(cfg, jnp.zeros_like(mask), 0.0)
+    # 10 frames with no detection at all (valid=False everywhere)
+    masks, emb, scores, _ = no_det
+    valid = jnp.zeros_like(scores, bool)
+    for _ in range(10):
+        st = associate_and_update(cfg, st, masks, emb, scores, valid,
+                                  propagated=st.masks)
+    assert bool(st.alive[0])          # still alive well past tolerance
+    assert int(st.miss[0]) == 10      # miss counter still reports truth
+    np.testing.assert_allclose(np.asarray(st.masks[0]), np.asarray(mask))
+
+
+def test_unsupervised_tracks_retire_after_miss_tolerance():
+    """Unsupervised mode keeps the reference's retire semantics."""
+    cfg = make_cfg(miss_tolerance=3, semi_supervised=False,
+                   new_track_thresh=2.0)  # no spawns
+    mask = square_mask(cfg, 8, 16)
+    st = seeded_state(cfg, mask)
+    masks, emb, scores, _ = det_inputs(cfg, jnp.zeros_like(mask), 0.0)
+    valid = jnp.zeros_like(scores, bool)
+    for _ in range(4):
+        st = associate_and_update(cfg, st, masks, emb, scores, valid,
+                                  propagated=st.masks)
+    assert not bool(st.alive[0])

@@ -19,6 +19,12 @@ from common import base_parser, load_cfg
 def main():
     p = base_parser("Train the learned propagation head")
     p.add_argument("--steps", type=int, default=2500)
+    p.add_argument("--unroll-steps", type=int, default=0,
+                   help="closed-loop fine-tune steps after pair training "
+                        "(backprop through the whole-sequence rollout)")
+    p.add_argument("--deform-prob", type=float, default=0.0,
+                   help="probability of jittering the input mask per pair "
+                        "example (MaskTrack-style exposure-gap aug)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--train-seqs", type=int, default=24)
     p.add_argument("--frames", type=int, default=10)
@@ -41,15 +47,21 @@ def main():
 
     head_params, report = train_on_synthetic(
         cfg, num_train_seqs=args.train_seqs, num_frames=args.frames,
-        steps=args.steps, lr=args.lr, det_params=det_params)
+        steps=args.steps, lr=args.lr, det_params=det_params,
+        unroll_steps=args.unroll_steps, deform_prob=args.deform_prob)
 
     print(f"held-out single-step J: identity={report['J_identity']:.4f} "
           f"learned(init)={report['J_learned_init']:.4f} "
           f"learned(final)={report['J_learned_final']:.4f}")
+    if "J_rollout" in report:
+        print(f"held-out ROLLOUT J (closed-loop, whole sequence): "
+              f"identity={report['J_rollout_identity']:.4f} "
+              f"pair-only={report['J_rollout_mid']:.4f} "
+              f"after-unroll={report['J_rollout']:.4f}")
 
     ckptr = ocp.StandardCheckpointer()
     path = os.path.abspath(os.path.join(args.out, "step_00000000"))
-    ckptr.save(path, {"step": 0, "params": head_params})
+    ckptr.save(path, {"step": 0, "params": head_params}, force=True)
     ckptr.wait_until_finished()
     print(f"saved propagation head -> {path}")
 

@@ -83,9 +83,8 @@ def _io_threads(requested: int) -> int:
     return max(1, min(requested, os.cpu_count() or 1))
 
 
-def read_sequence_frames(seq: "DavisSequence",
-                         num_threads: int = 8) -> np.ndarray:
-    """Decode all frames of a sequence in parallel (cv2 drops the GIL).
+def read_sequence_frames_paths(paths, num_threads: int = 8) -> np.ndarray:
+    """Decode a list of frame paths in parallel (cv2 drops the GIL).
 
     The reference decodes frame-by-frame inside its per-frame loop
     (SURVEY.md §3.3); batched threaded decode keeps the host ahead of the
@@ -95,10 +94,15 @@ def read_sequence_frames(seq: "DavisSequence",
 
     nt = _io_threads(num_threads)
     if nt == 1:
-        return np.stack([read_image_bgr(p) for p in seq.frame_paths])
+        return np.stack([read_image_bgr(p) for p in paths])
     with ThreadPoolExecutor(max_workers=nt) as ex:
-        frames = list(ex.map(read_image_bgr, seq.frame_paths))
+        frames = list(ex.map(read_image_bgr, paths))
     return np.stack(frames)
+
+
+def read_sequence_frames(seq: "DavisSequence",
+                         num_threads: int = 8) -> np.ndarray:
+    return read_sequence_frames_paths(seq.frame_paths, num_threads)
 
 
 def write_sequence_pngs(out_dir: str, idmaps, num_threads: int = 8) -> None:

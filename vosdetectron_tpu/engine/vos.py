@@ -65,23 +65,40 @@ def preprocess_frame(cfg: Config, frame_u8: jnp.ndarray, scale: float
     return im, jnp.asarray([nh, nw], jnp.float32)
 
 
+def _frame_yuv420_planes(frame: np.ndarray):
+    """(H, W, 3) uint8 BGR -> full-range JFIF (Y (H,W), U, V (H/2,W/2)).
+
+    FULL-RANGE BT.601 (cv2.COLOR_BGR2YCrCb) with exact 2x2 chroma
+    averaging — the same convention JPEG files store and the device-side
+    `_frames_to_bgr` inverts. (cv2.COLOR_BGR2YUV_I420 is STUDIO-swing,
+    Y in [16,235]: packing with it while unpacking full-range silently
+    compressed contrast by 219/255 — a real bug found when the native
+    raw-plane decoder disagreed with it by up to 17 LSB.)
+    """
+    import cv2
+
+    ycc = cv2.cvtColor(frame, cv2.COLOR_BGR2YCrCb)
+    h, w = frame.shape[:2]
+    # INTER_AREA on a 2x downscale is exact 2x2 box averaging
+    u = cv2.resize(ycc[..., 2], (w // 2, h // 2),
+                   interpolation=cv2.INTER_AREA)  # Cb
+    v = cv2.resize(ycc[..., 1], (w // 2, h // 2),
+                   interpolation=cv2.INTER_AREA)  # Cr
+    return ycc[..., 0], u, v
+
+
 def _to_yuv420(chunk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """(C, H, W, 3) uint8 BGR -> (Y (C, H, W), UV (C, H/2, W/2, 2)) uint8.
 
     Halves host->device bytes: JPEG sources are already 4:2:0 chroma-
     subsampled, so this re-subsampling is effectively lossless.
     """
-    import cv2
-
     c, h, w, _ = chunk.shape
     ys = np.empty((c, h, w), np.uint8)
     uvs = np.empty((c, h // 2, w // 2, 2), np.uint8)
-    qh = h // 4
     for i in range(c):
-        i420 = cv2.cvtColor(chunk[i], cv2.COLOR_BGR2YUV_I420)
-        ys[i] = i420[:h]
-        uvs[i, ..., 0] = i420[h: h + qh].reshape(h // 2, w // 2)
-        uvs[i, ..., 1] = i420[h + qh:].reshape(h // 2, w // 2)
+        ys[i], uvs[i, ..., 0], uvs[i, ..., 1] = \
+            _frame_yuv420_planes(chunk[i])
     return ys, uvs
 
 
@@ -91,22 +108,18 @@ def _to_yuv420_packed(chunk: np.ndarray) -> np.ndarray:
 
     One device_put per chunk instead of two: the tunnel's per-transfer
     overhead is substantial (measured: packed 62 f/s vs split 44 f/s
-    single-stream at 480p). cv2 writes straight into views of the packed
-    buffer — no extra copy.
+    single-stream at 480p).
     """
-    import cv2
-
     c, h, w, _ = chunk.shape
     ybytes = h * w
     uvbytes = (h // 2) * (w // 2) * 2
     buf = np.empty((c, ybytes + uvbytes), np.uint8)
-    qh = h // 4
     for i in range(c):
-        i420 = cv2.cvtColor(chunk[i], cv2.COLOR_BGR2YUV_I420)
-        buf[i, :ybytes] = i420[:h].reshape(-1)
+        y, u, v = _frame_yuv420_planes(chunk[i])
+        buf[i, :ybytes] = y.reshape(-1)
         uv = buf[i, ybytes:].reshape(h // 2, w // 2, 2)
-        uv[..., 0] = i420[h: h + qh].reshape(h // 2, w // 2)
-        uv[..., 1] = i420[h + qh:].reshape(h // 2, w // 2)
+        uv[..., 0] = u
+        uv[..., 1] = v
     return buf
 
 
@@ -449,6 +462,69 @@ class VOSEngine:
         return PreparedSequence(state, chunk_futs, t, h0, w0, scale,
                                 first_frame_gt)
 
+    def prepare_sequence_from_files(self, frame_paths,
+                                    first_frame_gt: Optional[np.ndarray]
+                                    = None) -> PreparedSequence:
+        """prepare_sequence, but decoding JPEGs straight into the packed
+        yuv420 upload buffers with the native decoder (native/jpegdec.cpp):
+        JPEG stores 4:2:0 YCbCr, so the cv2 route (YCbCr->RGB upsample,
+        then BGR->I420 re-subsample) does two redundant color transforms
+        per frame. Falls back to the decode-all-BGR path when the native
+        decoder or the 4:2:0 layout is unavailable.
+
+        Only frame 0 is decoded to BGR (cv2) — track-state init consumes
+        it; every other frame goes file -> packed planes -> device.
+        """
+        from ..data.davis import read_image_bgr
+        from ..native import jpegdec
+
+        cfg = self.cfg
+        probe = (jpegdec.probe_file(frame_paths[0])
+                 if cfg.vos.upload_format == "yuv420" else None)
+        if probe is None or not probe[2]:
+            from ..data.davis import read_sequence_frames_paths
+
+            return self.prepare_sequence(
+                read_sequence_frames_paths(frame_paths), first_frame_gt)
+        h0, w0 = probe[0], probe[1]
+        t = len(frame_paths)
+        scale = self._output_scale(h0, w0)
+
+        device = jax.devices()[0]
+        frame0 = read_image_bgr(frame_paths[0])
+        if first_frame_gt is not None:
+            gt_lr, obj_ids = self._gt_to_track_masks(first_frame_gt, scale)
+            state = self._init_state(self.params, jnp.asarray(frame0),
+                                     jnp.asarray(gt_lr), scale,
+                                     jnp.asarray(obj_ids),
+                                     self.prop_params)
+        else:
+            state = empty_track_state(cfg, self.emb_dim,
+                                      pfeat=self._empty_pfeat())
+        state = jax.device_put(state, device)
+
+        c = self.chunk
+        psize = jpegdec.packed_size(h0, w0)
+        n_chunks = (t + c - 1) // c
+
+        def decode_upload(i):
+            buf = np.empty((c, psize), np.uint8)
+            for j in range(c):
+                k = i * c + j
+                if k >= t:  # only the last chunk pads; the last real
+                    buf[j] = buf[(t - 1) % c]  # frame is already decoded
+                    continue
+                if not jpegdec.read_packed_into(frame_paths[k], buf[j]):
+                    # per-frame fallback (e.g. one non-4:2:0 frame)
+                    bgr = read_image_bgr(frame_paths[k])
+                    buf[j] = _to_yuv420_packed(bgr[None])[0]
+            return jax.device_put(buf, device)
+
+        chunk_futs = [self._up_pool.submit(decode_upload, i)
+                      for i in range(n_chunks)]
+        return PreparedSequence(state, chunk_futs, t, h0, w0, scale,
+                                first_frame_gt)
+
     def run_sequence(self, frames: Optional[np.ndarray],
                      first_frame_gt: Optional[np.ndarray] = None,
                      prepared: Optional[PreparedSequence] = None
@@ -588,7 +664,7 @@ def run_davis_dataset(engine: VOSEngine, davis_root: str,
     import jax
 
     from ..data.davis import (DavisCatalog, read_indexed_png,
-                              read_sequence_frames, write_sequence_pngs)
+                              write_sequence_pngs)
     from ..metrics.davis_jf import evaluate_dataset, evaluate_sequence
 
     cat = DavisCatalog(davis_root)
@@ -608,9 +684,8 @@ def run_davis_dataset(engine: VOSEngine, davis_root: str,
     write_pool = ThreadPoolExecutor(max_workers=2)
 
     def prefetch(i):
-        frames = read_sequence_frames(seqs[i])
         gt0 = read_indexed_png(seqs[i].anno_paths[0])
-        return engine.prepare_sequence(frames, gt0)
+        return engine.prepare_sequence_from_files(seqs[i].frame_paths, gt0)
 
     futures = {i: prefetch_pool.submit(prefetch, i)
                for i in range(min(depth, len(seqs)))}

@@ -360,7 +360,18 @@ def associate_and_update(cfg: Config, state: TrackState,
         jnp.maximum(jnp.where(w > 0, det_scores[midx], 0.0),
                     state.score * v.score_decay),
         state.score * v.score_decay)
-    alive = state.alive & (new_miss <= v.miss_tolerance)
+    # Retirement is an UNSUPERVISED-mode concept (reference: spawn/retire
+    # of discovered tracks). Under the DAVIS semi-supervised protocol the
+    # object set is fixed at frame 0 and a retired track can never return
+    # — one detector dry spell of miss_tolerance frames would zero the
+    # object's J for the rest of the sequence even though propagation was
+    # carrying it. Semi-supervised tracks therefore never retire; they
+    # just keep propagating (their score decays, so a confident detection
+    # re-anchors them through the blend when one reappears).
+    if v.semi_supervised:
+        alive = state.alive
+    else:
+        alive = state.alive & (new_miss <= v.miss_tolerance)
 
     state = TrackState(new_masks, new_emb, alive, new_miss, new_score,
                        state.obj_id, state.pfeat)
