@@ -91,3 +91,37 @@ def test_combined_roidb_rejects_empty(tmp_path, rng):
     cfg = cfg_for(root, str(tmp_path / "nowhere"))
     with pytest.raises(Exception):
         build_combined_roidb(cfg, ["davis_2017_train"])
+
+
+def test_davis_to_coco_json_roundtrip(tmp_path):
+    """DAVIS -> COCO-detection export: images resolve, boxes tight, RLE
+    masks decode to the id-map objects (reference: json_dataset lineage
+    evaluation bridge, SURVEY.md §2.2)."""
+    import os
+
+    import numpy as np
+
+    from vosdetectron_tpu.data.coco import CocoDataset
+    from vosdetectron_tpu.data.davis import (davis_to_coco_json,
+                                             materialize_synthetic_davis,
+                                             read_indexed_png)
+
+    root = str(tmp_path / "davis")
+    materialize_synthetic_davis(root, {"a": 3}, num_frames=2,
+                                size=(96, 160), num_objects=2)
+    j = davis_to_coco_json(root, "val", str(tmp_path / "coco.json"))
+    ds = CocoDataset(j, root)
+    ids = ds.image_ids()
+    assert len(ids) == 2 and ds.num_classes == 2
+    ex = ds.example(ids[0])
+    assert os.path.exists(ex.image_path)
+    idmap = read_indexed_png(
+        os.path.join(root, "Annotations", "480p", "a", "00000.png"))
+    oids = [o for o in np.unique(idmap) if o]
+    assert len(ex.boxes) == len(oids)
+    # each RLE mask must equal one id-map object exactly
+    for segm in ex.segms:
+        m = ds.gt_mask(segm, ex.height, ex.width).astype(bool)
+        best = max(((m & (idmap == o)).sum() / max((m | (idmap == o)).sum(), 1))
+                   for o in oids)
+        assert best == 1.0

@@ -18,6 +18,17 @@ def main():
     p.add_argument("--use-tfboard", action="store_true",
                    help="write TensorBoard scalars to <out>/tb "
                         "(reference: train_net_step.py --use_tfboard)")
+    p.add_argument("--eval-json", default="",
+                   help="COCO-detection json of a held-out set; with "
+                        "--eval-every, box/mask AP is measured during "
+                        "training (reference: test_net-on-snapshot loop)")
+    p.add_argument("--eval-image-dir", default="",
+                   help="image root for --eval-json (defaults to its dir)")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="evaluate every N steps (0 = never)")
+    p.add_argument("--curve-out", default="",
+                   help="JSONL path recording {step, losses, AP} rows "
+                        "(defaults to <out>/curve.jsonl when evaluating)")
     args = p.parse_args()
     cfg = load_cfg(args)
 
@@ -50,6 +61,39 @@ def main():
         log_period=20,
         tb_dir=os.path.join(args.out, "tb") if args.use_tfboard else None)
 
+    evaluator = None
+    if args.eval_json and args.eval_every:
+        from vosdetectron_tpu.data.coco import CocoDataset
+        from vosdetectron_tpu.engine.eval_images import evaluate_coco
+        from vosdetectron_tpu.engine.inference import Detector
+
+        eval_ds = CocoDataset(args.eval_json,
+                              args.eval_image_dir
+                              or os.path.dirname(args.eval_json))
+        # one Detector reused across evals: its jitted programs take
+        # params as an argument, so swapping weights never recompiles
+        det = Detector(cfg, params=trainer.state.params)
+        curve_path = args.curve_out or os.path.join(args.out,
+                                                    "curve.jsonl")
+        os.makedirs(os.path.dirname(os.path.abspath(curve_path)),
+                    exist_ok=True)
+
+        def evaluator(step, losses):
+            import json
+
+            det.params = trainer.state.params
+            summ = evaluate_coco(det, eval_ds, cfg,
+                                 merge_processes=False)
+            row = {"step": step + 1,
+                   **{f"loss_{k}": round(float(v), 4)
+                      for k, v in losses.items()}}
+            for iou_type, s in summ.items():
+                for k in ("AP", "AP50", "AP75"):
+                    row[f"{iou_type}_{k}"] = round(float(s[k]), 4)
+            with open(curve_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            print(f"[eval] {row}", flush=True)
+
     key = jax.random.PRNGKey(int(trainer.state.step))
     it = iter(loader)
     ctx = mesh if mesh is not None else _nullcontext()
@@ -74,6 +118,10 @@ def main():
                         or step + 1 == cfg.solver.max_iter:
                     trainer.save(args.out)
                     print(f"saved checkpoint at step {step + 1}")
+                if evaluator is not None \
+                        and (step + 1) % args.eval_every == 0:
+                    evaluator(step,
+                              {k: float(v) for k, v in losses.items()})
     except (Exception, KeyboardInterrupt):
         # Emergency snapshot on crash/interrupt so --resume restarts from
         # the dying step (reference: train_net_step.py catches exceptions

@@ -265,3 +265,65 @@ def materialize_synthetic_davis(root: str, sequences: Dict[str, int],
         f.write("\n".join(names) + "\n")
     with open(os.path.join(root, "ImageSets", "2017", "train.txt"), "w") as f:
         f.write("\n".join(names) + "\n")
+
+
+def davis_to_coco_json(root: str, split: str, out_json: str,
+                       max_frames_per_seq: Optional[int] = None) -> str:
+    """Export a DAVIS split as a COCO-detection json (class-agnostic
+    "object" category, RLE segmentations from the indexed-PNG id maps).
+
+    The reference evaluates detection quality through the COCO protocol
+    (lib/datasets/json_dataset.py + task_evaluation, SURVEY.md §2.2); this
+    bridge lets the same CocoEvaluator score a detector on DAVIS frames —
+    used for the fine-tune AP curve (workload 4 evidence).
+
+    file_name entries are relative to `root` so CocoDataset(image_dir=root)
+    resolves them.
+    """
+    import json
+
+    from ..native import rle_encode
+
+    cat = DavisCatalog(root)
+    images, annotations = [], []
+    iid = 0
+    aid = 0
+    for name in cat.split_sequences(split):
+        seq = cat.sequence(name)
+        paths = seq.frame_paths
+        annos = seq.anno_paths
+        if max_frames_per_seq:
+            paths = paths[:max_frames_per_seq]
+            annos = annos[:max_frames_per_seq]
+        for fp, ap in zip(paths, annos):
+            idmap = read_indexed_png(ap)
+            h, w = idmap.shape
+            iid += 1
+            images.append({
+                "id": iid, "height": int(h), "width": int(w),
+                "file_name": os.path.relpath(fp, root),
+            })
+            for oid in np.unique(idmap):
+                if oid == 0:
+                    continue
+                m = (idmap == oid).astype(np.uint8)
+                ys, xs = np.nonzero(m)
+                x0, x1 = int(xs.min()), int(xs.max())
+                y0, y1 = int(ys.min()), int(ys.max())
+                aid += 1
+                annotations.append({
+                    "id": aid, "image_id": iid, "category_id": 1,
+                    "bbox": [x0, y0, x1 - x0 + 1, y1 - y0 + 1],
+                    "area": int(m.sum()),
+                    "segmentation": rle_encode(m),
+                    "iscrowd": 0,
+                })
+    data = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "object"}],
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(out_json)), exist_ok=True)
+    with open(out_json, "w") as f:
+        json.dump(data, f)
+    return out_json
