@@ -137,7 +137,12 @@ def main():
     # within the time budget is reported.
     from concurrent.futures import ThreadPoolExecutor
 
-    laps = int(os.environ.get("BENCH_LAPS", "8"))
+    # Enough queued laps that the TIME budget always cuts mid-stream:
+    # if the stream ran out first, the final laps would scan with no
+    # competing prefetch and "measure" a drain of pre-uploaded chunks
+    # (observed: 105 f/s drain lap vs ~45 sustained). Every recorded lap
+    # must race the next lap's decodes + uploads.
+    laps = int(os.environ.get("BENCH_LAPS", "99"))
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "120"))
     min_laps = 3
     stream = [(lap, i) for lap in range(laps) for i in range(len(seqs))]
@@ -184,6 +189,10 @@ def main():
 
     per_lap = [fr / dt for fr, dt in lap_times]
     log("bench: lap f/s = " + ", ".join(f"{v:.1f}" for v in per_lap))
+    total_fr = sum(fr for fr, _ in lap_times)
+    total_dt = sum(dt for _, dt in lap_times)
+    log(f"bench: stream average = {total_fr / total_dt:.1f} f/s over "
+        f"{total_fr} frames")
     fps_per_chip = max(per_lap) / chips
     print(json.dumps({
         "metric": "davis2017_480p_e2e_vos_throughput",
