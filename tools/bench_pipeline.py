@@ -4,11 +4,16 @@ stages so the binding constraint is measurable, not guessed
 (VERDICT r2 #1: prove where the frames/sec go).
 
 Stages measured independently over the same 480p chunks:
-  decode    — JPEG read + BGR decode (host, per frame)
-  pack      — BGR -> packed yuv420 buffer (host, per frame)
-  upload    — device_put of packed chunks, N streams (tunnel bandwidth)
-  scan      — _scan_chunk on PRE-UPLOADED chunks (pure device rate)
-  e2e       — the composed pipeline (run_sequence)
+  decode      — JPEG read + BGR decode via cv2 (host, per frame)
+  native dec  — JPEG file -> packed yuv420 via native/jpegdec.cpp
+                (the path run_davis_dataset/bench.py actually use)
+  pack        — BGR -> packed yuv420 buffer (host; cv2 fallback path)
+  upload      — device_put of packed chunks, N streams (tunnel bandwidth)
+  scan        — _scan_chunk on PRE-UPLOADED chunks (pure device rate)
+  png export  — indexed-PNG writes of the predictions (off critical path
+                in the engine, measured for completeness)
+  e2e         — the composed pipeline (prepare_sequence_from_files +
+                run_sequence, i.e. the native-decode route)
 
 The e2e ceiling is min(scan, upload, decode+pack serialized on this host's
 cores); if e2e ~= that ceiling the pipeline is lossless and the residual
@@ -77,12 +82,25 @@ def main():
     seq = cat.sequence(cat.split_sequences("val")[0])
     paths = seq.frame_paths
 
-    # ---- decode
+    # ---- decode (cv2 BGR route)
     t0 = time.time()
     frames = np.stack([read_image_bgr(p) for p in paths])
     t_decode = time.time() - t0
     t, h0, w0, _ = frames.shape
     chunks = frames[: (t // 16) * 16].reshape(-1, 16, h0, w0, 3)
+
+    # ---- native decode (jpeg -> packed yuv420, the production path)
+    from vosdetectron_tpu.native import jpegdec
+
+    t_native = None
+    probe = jpegdec.probe_file(paths[0])
+    if probe is not None and probe[2]:
+        nbuf = np.empty(jpegdec.packed_size(h0, w0), np.uint8)
+        jpegdec.read_packed_into(paths[0], nbuf)  # warm (builds the .so)
+        t0 = time.time()
+        for p in paths:
+            jpegdec.read_packed_into(p, nbuf)
+        t_native = time.time() - t0
 
     # ---- pack (yuv420)
     t0 = time.time()
@@ -131,20 +149,32 @@ def main():
     jax.block_until_ready(ids)
     t_scan = time.time() - t0
 
-    # ---- e2e (composed)
+    # ---- e2e (composed, native-decode route as bench.py runs it)
     t0 = time.time()
-    preds = eng.run_sequence(frames, gt0)
+    prepared = eng.prepare_sequence_from_files(paths, gt0)
+    preds = eng.run_sequence(None, prepared=prepared)
     t_e2e = time.time() - t0
+
+    # ---- png export of the predictions
+    from vosdetectron_tpu.data.davis import write_sequence_pngs
+
+    png_dir = os.path.join(tempfile.gettempdir(), "bench_png_export")
+    t0 = time.time()
+    write_sequence_pngs(png_dir, preds)
+    t_png = time.time() - t0
 
     n = chunks.shape[0] * 16
     mbps = nbytes / t_upload / 2**20
     rows = [
-        ("decode", t / t_decode),
-        ("pack", t / t_pack),
+        ("decode (cv2 BGR)", t / t_decode),
+        ("pack (BGR->yuv420)", t / t_pack),
         (f"upload ({mbps:.0f} MB/s)", n / t_upload),
         ("scan (device only)", n_scan_frames / t_scan),
-        ("e2e run_sequence", len(preds) / t_e2e),
+        ("png export", len(preds) / t_png),
+        ("e2e native run_sequence", len(preds) / t_e2e),
     ]
+    if t_native is not None:
+        rows.insert(1, ("native decode (jpeg->yuv)", t / t_native))
     print(f"{'stage':28s} frames/sec")
     for name, v in rows:
         print(f"{name:28s} {v:8.1f}")
