@@ -123,3 +123,65 @@ def test_prepare_sequence_from_files_matches_array_path(tmp_path):
         # pixels from the LSB-level yuv difference
         assert a.shape == b.shape
         assert (a != b).mean() < 0.02
+
+
+@pytest.mark.skipif(not jpegdec.HAVE_JPEGDEC, reason="no native decoder")
+@pytest.mark.parametrize("size", [(96, 160), (96, 170)])
+def test_den4_native_matches_cv2_packer(tmp_path, size):
+    """chroma_den=4 (extra 2x2 chroma box filter, 1.125 B/px): the native
+    decoder's averaged planes must match the cv2 packer's INTER_AREA
+    downscale, including odd half-width clamp columns (170/2=85)."""
+    from vosdetectron_tpu.engine.vos import _to_yuv420_packed
+
+    p = str(tmp_path / "f.jpg")
+    _write_test_jpeg(p, size=size)
+    h, w = size
+    ch, cw = jpegdec.chroma_hw(h, w, 4)
+    assert (ch, cw) == ((h // 2 + 1) // 2, (w // 2 + 1) // 2)
+    buf = np.empty(jpegdec.packed_size(h, w, 4), np.uint8)
+    assert jpegdec.read_packed_into(p, buf, 4)
+    ref = _to_yuv420_packed(cv2.imread(p)[None], 4)[0]
+    assert buf.shape == ref.shape
+    diff = np.abs(buf.astype(np.int16) - ref.astype(np.int16))
+    # native averages the encoder's own 4:2:0 planes; cv2 re-derives them
+    # from the upsampled BGR, so edges differ a little more than den=2
+    assert diff.max() <= 8 and diff.mean() < 1.5, (diff.max(), diff.mean())
+
+
+def test_den4_roundtrip_solid_colors():
+    """Pack at chroma_den=4 -> device unpack must still be ~identity on
+    solid colors (chroma is constant, so the extra subsample is exact)."""
+    import jax.numpy as jnp
+
+    from vosdetectron_tpu.config import Config, apply_overrides
+    from vosdetectron_tpu.engine.vos import VOSEngine, _to_yuv420_packed
+
+    eng = VOSEngine.__new__(VOSEngine)
+    eng.cfg = apply_overrides(Config(), [("vos.chroma_den", 4)])
+    for col in [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 128, 255)]:
+        im = np.full((16, 24, 3), col, np.uint8)
+        pk = jnp.asarray(_to_yuv420_packed(im[None], 4))
+        rec = np.asarray(eng._frames_to_bgr(pk, src_hw=(16, 24)))
+        assert np.abs(rec[0, 4, 4] - np.asarray(col, np.float32)).max() \
+            <= 2.0, (col, rec[0, 4, 4])
+
+
+def test_den4_unpack_odd_halfwidth():
+    """(h, w)=(16, 26): w/2=13 odd -> cw4=7 ceil; unpack must crop the
+    overshoot and reconstruct every column."""
+    import jax.numpy as jnp
+
+    from vosdetectron_tpu.config import Config, apply_overrides
+    from vosdetectron_tpu.engine.vos import VOSEngine, _to_yuv420_packed
+
+    eng = VOSEngine.__new__(VOSEngine)
+    eng.cfg = apply_overrides(Config(), [("vos.chroma_den", 4)])
+    rng = np.random.RandomState(3)
+    im = cv2.GaussianBlur(
+        rng.randint(0, 255, (16, 26, 3)).astype(np.uint8), (0, 0), 3)
+    pk = jnp.asarray(_to_yuv420_packed(im[None], 4))
+    rec = np.asarray(eng._frames_to_bgr(pk, src_hw=(16, 26)))
+    assert rec.shape == (1, 16, 26, 3)
+    # luma is carried at full resolution -> reconstruction stays close
+    err = np.abs(rec[0] - im.astype(np.float32)).mean()
+    assert err < 12.0, err

@@ -257,6 +257,14 @@ class VOSCfg:
     # in practice for JPEG sources, which are already chroma-subsampled.
     # "u8" uploads raw BGR (fallback for odd-sized frames).
     upload_format: str = "yuv420"
+    # Chroma subsampling denominator for the yuv upload: 2 = standard
+    # 4:2:0 (1.5 B/px), 4 = an extra 2x2 chroma box filter (1.125 B/px,
+    # 25% fewer upload bytes). The upload link is the binding constraint
+    # on a tunnel-attached host (tools/bench_pipeline.py attributes the
+    # whole gap to the 60 f/s target to upload bandwidth), and detection
+    # is chroma-insensitive enough that den=4 is quality-neutral on the
+    # held-out J&F eval.
+    chroma_den: int = 2
     upload_streams: int = 4  # concurrent device_put streams
     # Mask propagation: "identity" (masks persist, baseline) or "learned"
     # (flow-warp + refine head; reference: fork-added propagation module,

@@ -65,8 +65,9 @@ def preprocess_frame(cfg: Config, frame_u8: jnp.ndarray, scale: float
     return im, jnp.asarray([nh, nw], jnp.float32)
 
 
-def _frame_yuv420_planes(frame: np.ndarray):
-    """(H, W, 3) uint8 BGR -> full-range JFIF (Y (H,W), U, V (H/2,W/2)).
+def _frame_yuv420_planes(frame: np.ndarray, den: int = 2):
+    """(H, W, 3) uint8 BGR -> full-range JFIF (Y (H,W), U, V chroma
+    planes at chroma_hw(H, W, den) resolution).
 
     FULL-RANGE BT.601 (cv2.COLOR_BGR2YCrCb) with exact 2x2 chroma
     averaging — the same convention JPEG files store and the device-side
@@ -84,7 +85,25 @@ def _frame_yuv420_planes(frame: np.ndarray):
                    interpolation=cv2.INTER_AREA)  # Cb
     v = cv2.resize(ycc[..., 1], (w // 2, h // 2),
                    interpolation=cv2.INTER_AREA)  # Cr
+    if den == 4:
+        # exact 2x2 box with edge clamp — matches the native decoder's
+        # den=4 averaging (cv2.resize would use fractional-area weights
+        # on odd half-dims)
+        u, v = _box2x2_clamp(u), _box2x2_clamp(v)
     return ycc[..., 0], u, v
+
+
+def _box2x2_clamp(p: np.ndarray) -> np.ndarray:
+    """2x downscale by 2x2 box average; odd trailing row/col clamp."""
+    h, w = p.shape
+    if h % 2:
+        p = np.concatenate([p, p[-1:]], axis=0)
+    if w % 2:
+        p = np.concatenate([p, p[:, -1:]], axis=1)
+    q = p.astype(np.uint16)
+    q = (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2] + q[1::2, 1::2]
+         + 2) >> 2
+    return q.astype(np.uint8)
 
 
 def _to_yuv420(chunk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -102,22 +121,25 @@ def _to_yuv420(chunk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return ys, uvs
 
 
-def _to_yuv420_packed(chunk: np.ndarray) -> np.ndarray:
-    """(C, H, W, 3) uint8 BGR -> ONE packed (C, H*W + (H/2)*(W/2)*2) uint8
-    buffer per chunk (Y plane then interleaved UV, per frame).
+def _to_yuv420_packed(chunk: np.ndarray, den: int = 2) -> np.ndarray:
+    """(C, H, W, 3) uint8 BGR -> ONE packed (C, H*W + CH*CW*2) uint8
+    buffer per chunk (Y plane then interleaved UV, per frame; CH/CW from
+    chroma_hw(H, W, den)).
 
     One device_put per chunk instead of two: the tunnel's per-transfer
     overhead is substantial (measured: packed 62 f/s vs split 44 f/s
     single-stream at 480p).
     """
+    from ..native.jpegdec import chroma_hw
+
     c, h, w, _ = chunk.shape
     ybytes = h * w
-    uvbytes = (h // 2) * (w // 2) * 2
-    buf = np.empty((c, ybytes + uvbytes), np.uint8)
+    ch, cw = chroma_hw(h, w, den)
+    buf = np.empty((c, ybytes + ch * cw * 2), np.uint8)
     for i in range(c):
-        y, u, v = _frame_yuv420_planes(chunk[i])
+        y, u, v = _frame_yuv420_planes(chunk[i], den)
         buf[i, :ybytes] = y.reshape(-1)
-        uv = buf[i, ybytes:].reshape(h // 2, w // 2, 2)
+        uv = buf[i, ybytes:].reshape(ch, cw, 2)
         uv[..., 0] = u
         uv[..., 1] = v
     return buf
@@ -168,22 +190,34 @@ class VOSEngine:
         (H, W); the 4:2:0 reconstruction (nearest chroma upsample +
         full-range BT.601) is elementwise, so XLA fuses it into the
         preprocess."""
+        den = getattr(getattr(self, "cfg", None), "vos", None)
+        den = den.chroma_den if den is not None else 2
         if not isinstance(frames, (tuple, list)):
-            if frames.ndim == 2:  # packed yuv420
+            if frames.ndim == 2:  # packed yuv
+                from ..native.jpegdec import chroma_hw
+
                 h0, w0 = src_hw
                 c = frames.shape[0]
                 yb = h0 * w0
+                ch, cw = chroma_hw(h0, w0, den)
                 y = frames[:, :yb].reshape(c, h0, w0)
-                uv = frames[:, yb:].reshape(c, h0 // 2, w0 // 2, 2)
+                uv = frames[:, yb:].reshape(c, ch, cw, 2)
                 frames = (y, uv)
             else:
                 return frames.astype(jnp.float32)
         y, uv = frames
+        h0, w0 = y.shape[-2:]
+        # infer the subsampling factor from the actual plane shapes (a
+        # tuple caller may have packed at a different den than cfg)
+        den = max(1, round(h0 / uv.shape[-3]))
         yf = y.astype(jnp.float32)
         u = uv[..., 0].astype(jnp.float32) - 128.0
         v = uv[..., 1].astype(jnp.float32) - 128.0
-        u = jnp.repeat(jnp.repeat(u, 2, axis=-2), 2, axis=-1)
-        v = jnp.repeat(jnp.repeat(v, 2, axis=-2), 2, axis=-1)
+        u = jnp.repeat(jnp.repeat(u, den, axis=-2), den, axis=-1)
+        v = jnp.repeat(jnp.repeat(v, den, axis=-2), den, axis=-1)
+        # ceil-div chroma planes can overshoot on odd half-dims
+        u = u[..., :h0, :w0]
+        v = v[..., :h0, :w0]
         b = yf + 1.772 * u
         g = yf - 0.344136 * u - 0.714136 * v
         r = yf + 1.402 * v
@@ -454,7 +488,9 @@ class VOSEngine:
             # device_put on raw numpy: the jnp.asarray route transfers
             # through a ~20x slower path on this backend.
             if use_yuv:
-                return jax.device_put(_to_yuv420_packed(chunks[i]), device)
+                return jax.device_put(
+                    _to_yuv420_packed(chunks[i], cfg.vos.chroma_den),
+                    device)
             return jax.device_put(np.ascontiguousarray(chunks[i]), device)
 
         chunk_futs = [self._up_pool.submit(upload, i)
@@ -504,7 +540,8 @@ class VOSEngine:
         state = jax.device_put(state, device)
 
         c = self.chunk
-        psize = jpegdec.packed_size(h0, w0)
+        den = cfg.vos.chroma_den
+        psize = jpegdec.packed_size(h0, w0, den)
         n_chunks = (t + c - 1) // c
 
         def decode_upload(i):
@@ -514,10 +551,11 @@ class VOSEngine:
                 if k >= t:  # only the last chunk pads; the last real
                     buf[j] = buf[(t - 1) % c]  # frame is already decoded
                     continue
-                if not jpegdec.read_packed_into(frame_paths[k], buf[j]):
+                if not jpegdec.read_packed_into(frame_paths[k], buf[j],
+                                                den):
                     # per-frame fallback (e.g. one non-4:2:0 frame)
                     bgr = read_image_bgr(frame_paths[k])
-                    buf[j] = _to_yuv420_packed(bgr[None])[0]
+                    buf[j] = _to_yuv420_packed(bgr[None], den)[0]
             return jax.device_put(buf, device)
 
         chunk_futs = [self._up_pool.submit(decode_upload, i)

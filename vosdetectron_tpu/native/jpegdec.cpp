@@ -10,9 +10,13 @@
 // writes them straight into the packed upload layout:
 //
 //   out[0 : H*W]                      Y  plane, row-major
-//   out[H*W : H*W + (H/2)*(W/2)*2]    UV interleaved, (H/2, W/2, 2)
+//   out[H*W : H*W + CH*CW*2]          UV interleaved, (CH, CW, 2)
 //
-// which is byte-identical in layout to _to_yuv420_packed's output (values
+// where (CH, CW) = (H/2, W/2) for den=2 (standard 4:2:0) or
+// (ceil(H/4), ceil(W/4)) for den=4 (an extra 2x2 chroma box filter —
+// 1.125 B/px instead of 1.5, for upload-bandwidth-bound hosts).
+//
+// den=2 output is byte-identical in layout to _to_yuv420_packed's (values
 // are the encoder's own planes — strictly more faithful than the
 // BGR->I420 re-encode). Runs with the GIL released (plain C ABI via
 // ctypes), so decode overlaps the upload streams' serialization work.
@@ -79,11 +83,13 @@ int jpeg_probe(const uint8_t* data, int64_t len, int* h, int* w,
   return 0;
 }
 
-// Decode one 4:2:0 JPEG into the packed yuv420 layout described above.
-// out must hold h*w + (h/2)*(w/2)*2 bytes (h, w from jpeg_probe).
+// Decode one 4:2:0 JPEG into the packed yuv layout described above.
+// out must hold h*w + CH*CW*2 bytes (h, w from jpeg_probe; CH/CW per
+// den). den must be 2 or 4.
 // Returns 0 ok, 1 not-4:2:0 (caller falls back), negative decode error.
 int decode_jpeg_yuv420(const uint8_t* data, int64_t len, uint8_t* out,
-                       int64_t out_cap) {
+                       int64_t out_cap, int den) {
+  if (den != 2 && den != 4) return -4;
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -113,7 +119,10 @@ int decode_jpeg_yuv420(const uint8_t* data, int64_t len, uint8_t* out,
   const int h = static_cast<int>(cinfo.image_height);
   const int w = static_cast<int>(cinfo.image_width);
   const int64_t ybytes = static_cast<int64_t>(h) * w;
-  const int64_t need = ybytes + static_cast<int64_t>(h / 2) * (w / 2) * 2;
+  const int ch2 = h / 2, cw2 = w / 2;
+  const int ch_out = (den == 2) ? ch2 : (ch2 + 1) / 2;
+  const int cw_out = (den == 2) ? cw2 : (cw2 + 1) / 2;
+  const int64_t need = ybytes + static_cast<int64_t>(ch_out) * cw_out * 2;
   if (out_cap < need) {
     jpeg_destroy_decompress(&cinfo);
     return -3;
@@ -166,17 +175,36 @@ int decode_jpeg_yuv420(const uint8_t* data, int64_t len, uint8_t* out,
         std::memcpy(out + static_cast<int64_t>(row + r) * w,
                     yrows[r], w);
     }
-    const int crow0 = row / 2;
-    const int nc = (h / 2 - crow0) < static_cast<int>(got) / 2
-                       ? (h / 2 - crow0)
+    const int crow0 = row / 2;  // always even: row is a multiple of 16
+    const int nc = (ch2 - crow0) < static_cast<int>(got) / 2
+                       ? (ch2 - crow0)
                        : static_cast<int>(got) / 2;
-    for (int r = 0; r < nc; ++r) {
-      uint8_t* dst = uv + static_cast<int64_t>(crow0 + r) * cw * 2;
-      const uint8_t* us = urows[r];
-      const uint8_t* vs = vrows[r];
-      for (int x = 0; x < cw; ++x) {
-        dst[2 * x] = us[x];
-        dst[2 * x + 1] = vs[x];
+    if (den == 2) {
+      for (int r = 0; r < nc; ++r) {
+        uint8_t* dst = uv + static_cast<int64_t>(crow0 + r) * cw * 2;
+        const uint8_t* us = urows[r];
+        const uint8_t* vs = vrows[r];
+        for (int x = 0; x < cw; ++x) {
+          dst[2 * x] = us[x];
+          dst[2 * x + 1] = vs[x];
+        }
+      }
+    } else {  // den == 4: 2x2 box filter, edge rows/cols clamp
+      for (int r = 0; r < nc; r += 2) {
+        const uint8_t* us0 = urows[r];
+        const uint8_t* vs0 = vrows[r];
+        const uint8_t* us1 = (r + 1 < nc) ? urows[r + 1] : urows[r];
+        const uint8_t* vs1 = (r + 1 < nc) ? vrows[r + 1] : vrows[r];
+        uint8_t* dst =
+            uv + static_cast<int64_t>((crow0 + r) / 2) * cw_out * 2;
+        for (int x = 0; x < cw_out; ++x) {
+          const int x0 = 2 * x;
+          const int x1 = (x0 + 1 < cw) ? x0 + 1 : x0;
+          dst[2 * x] = static_cast<uint8_t>(
+              (us0[x0] + us0[x1] + us1[x0] + us1[x1] + 2) >> 2);
+          dst[2 * x + 1] = static_cast<uint8_t>(
+              (vs0[x0] + vs0[x1] + vs1[x0] + vs1[x1] + 2) >> 2);
+        }
       }
     }
     row += ny;

@@ -56,7 +56,7 @@ def _init() -> None:
     lib.jpeg_probe.argtypes = [pu8, ctypes.c_int64, pi, pi, pi]
     lib.jpeg_probe.restype = ctypes.c_int
     lib.decode_jpeg_yuv420.argtypes = [pu8, ctypes.c_int64, pu8,
-                                       ctypes.c_int64]
+                                       ctypes.c_int64, ctypes.c_int]
     lib.decode_jpeg_yuv420.restype = ctypes.c_int
     _LIB = lib
     HAVE_JPEGDEC = True
@@ -65,8 +65,16 @@ def _init() -> None:
 _init()
 
 
-def packed_size(h: int, w: int) -> int:
-    return h * w + (h // 2) * (w // 2) * 2
+def chroma_hw(h: int, w: int, den: int = 2) -> Tuple[int, int]:
+    """Packed chroma plane dims: (h//2, w//2) for den=2; ceil halves of
+    that for den=4 (odd half-dims clamp-average the trailing row/col)."""
+    k = den // 2
+    return ((h // 2 + k - 1) // k, (w // 2 + k - 1) // k)
+
+
+def packed_size(h: int, w: int, den: int = 2) -> int:
+    ch, cw = chroma_hw(h, w, den)
+    return h * w + ch * cw * 2
 
 
 def probe_file(path: str) -> Optional[Tuple[int, int, bool]]:
@@ -89,21 +97,22 @@ def probe_file(path: str) -> Optional[Tuple[int, int, bool]]:
     return h.value, w.value, bool(is420.value)
 
 
-def decode_packed_into(data: np.ndarray, out: np.ndarray) -> bool:
-    """Decode JPEG bytes (uint8 array) into a preallocated packed yuv420
-    buffer (1-D uint8 view of size packed_size(h, w)). False -> caller
-    must fall back to cv2."""
+def decode_packed_into(data: np.ndarray, out: np.ndarray,
+                       den: int = 2) -> bool:
+    """Decode JPEG bytes (uint8 array) into a preallocated packed yuv
+    buffer (1-D uint8 view of size packed_size(h, w, den)). False ->
+    caller must fall back to cv2."""
     if not HAVE_JPEGDEC:
         return False
-    rc = _LIB.decode_jpeg_yuv420(data, data.size, out, out.size)
+    rc = _LIB.decode_jpeg_yuv420(data, data.size, out, out.size, den)
     return rc == 0
 
 
-def read_packed_into(path: str, out: np.ndarray) -> bool:
+def read_packed_into(path: str, out: np.ndarray, den: int = 2) -> bool:
     if not HAVE_JPEGDEC:
         return False
     try:
         data = np.fromfile(path, np.uint8)
     except OSError:
         return False
-    return decode_packed_into(data, out)
+    return decode_packed_into(data, out, den)
