@@ -14,11 +14,16 @@ Conventions:
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 # Detectron clamps dw/dh before exp to avoid overflow:
 # log(1000/16), reference lib/utils/boxes.py::bbox_transform.
-BBOX_XFORM_CLIP = float(jnp.log(jnp.asarray(1000.0 / 16.0)))
+# (math, not jnp: a jnp op here runs ON DEVICE AT IMPORT TIME — with a
+# stalled device link, `import vosdetectron_tpu.ops.boxes` hung forever
+# before the program printed anything.)
+BBOX_XFORM_CLIP = math.log(1000.0 / 16.0)
 
 
 def box_area(boxes: jnp.ndarray, legacy_plus1: bool = False) -> jnp.ndarray:
