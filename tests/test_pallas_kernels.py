@@ -327,3 +327,66 @@ class TestOnTPU:
             paste_masks_in_image(masks, boxes, 256, 448), scores, valid,
             ids))
         assert (got == want).mean() > 0.999
+
+
+class TestRoiAlignAutodiff:
+    """The _ad wrappers train through the Pallas forward: grads must be
+    the exact-jnp VJP (workload 4 trains through RoIAlign; reference
+    ships a dedicated backward kernel, SURVEY.md §2.1)."""
+
+    def test_pyramid_ad_value_and_grad(self, rng):
+        from vosdetectron_tpu.ops.pallas.roi_align_pallas import \
+            roi_align_pyramid_pallas_ad
+        from vosdetectron_tpu.ops.roi_align import roi_align_pyramid
+
+        strides = (4, 8, 16, 32)
+        h, w = 64, 96
+        feats = tuple(
+            jnp.asarray(rng.randn(1, h // (s // 4), w // (s // 4), 128)
+                        .astype(np.float32)) for s in strides)
+        rois = jnp.asarray(np.array(
+            [[[8, 8, 60, 48], [0, 0, 200, 150], [16, 16, 350, 220]]],
+            np.float32))
+
+        def loss_pallas(fs):
+            out = roi_align_pyramid_pallas_ad(fs, rois, strides, 2, 5, 7,
+                                              2, 224, 4, True)
+            return jnp.sum(out * out), out
+
+        def loss_exact(fs):
+            def per_image(f_list, bx):
+                return roi_align_pyramid(list(f_list), bx, list(strides),
+                                         2, 5, 7, 2, 224, 4)
+
+            out = jax.vmap(per_image)(fs, rois)
+            return jnp.sum(out * out), out
+
+        (lp, outp), gp = jax.value_and_grad(loss_pallas, has_aux=True)(
+            feats)
+        (le, oute), ge = jax.value_and_grad(loss_exact, has_aux=True)(
+            feats)
+        assert np.abs(np.asarray(outp) - np.asarray(oute)).max() < 0.05
+        for a, b in zip(gp, ge):
+            # backward IS the exact VJP evaluated at the pallas output's
+            # cotangent; outputs agree to kernel tolerance, so grads agree
+            # to the same order
+            assert np.abs(np.asarray(a) - np.asarray(b)).max() < 0.2
+        # rois must receive zero gradient (reference semantics)
+        gro = jax.grad(lambda r: jnp.sum(roi_align_pyramid_pallas_ad(
+            feats, r, strides, 2, 5, 7, 2, 224, 4, True)))(rois)
+        assert float(jnp.abs(gro).max()) == 0.0
+
+    def test_single_level_ad_grad(self, rng):
+        from vosdetectron_tpu.ops.pallas.roi_align_pallas import \
+            roi_align_pallas_ad
+        from vosdetectron_tpu.ops.roi_align import roi_align
+
+        feat = jnp.asarray(rng.randn(32, 48, 128).astype(np.float32))
+        rois = jnp.asarray(np.array([[10, 10, 120, 100], [0, 0, 60, 60]],
+                                    np.float32))
+
+        gp = jax.grad(lambda f: jnp.sum(roi_align_pallas_ad(
+            f, rois, 0.25, 7, 2, True) ** 2))(feat)
+        ge = jax.grad(lambda f: jnp.sum(roi_align(
+            f, rois, 0.25, 7, 2) ** 2))(feat)
+        assert np.abs(np.asarray(gp) - np.asarray(ge)).max() < 0.2

@@ -216,15 +216,16 @@ class GeneralizedRCNN(nn.Module):
             if use_pallas and len(strides) == 4:
                 # Pallas kernel path: keep the compute dtype (bf16 windows
                 # halve DMA traffic); the whole batch is ONE kernel launch
-                # (images stacked vertically in the level atlases).
+                # (images stacked vertically in the level atlases). The
+                # _ad wrapper makes it trainable (exact-jnp backward).
                 from ..ops.pallas.roi_align_pallas import \
-                    roi_align_pyramid_pallas
+                    roi_align_pyramid_pallas_ad
 
-                out = roi_align_pyramid_pallas(
-                    list(roi_feats), rois, strides, lo, hi, resolution,
-                    sr, cfg.fpn.roi_canonical_scale,
+                out = roi_align_pyramid_pallas_ad(
+                    tuple(roi_feats), rois, tuple(strides), lo, hi,
+                    resolution, sr, cfg.fpn.roi_canonical_scale,
                     cfg.fpn.roi_canonical_level,
-                    interpret=cfg.fast_rcnn.pallas_interpret)
+                    cfg.fast_rcnn.pallas_interpret)
             else:
                 def per_image(fs, bx):
                     return roi_align_pyramid(
@@ -236,13 +237,14 @@ class GeneralizedRCNN(nn.Module):
                 out = jax.vmap(per_image)(roi_feats, rois)
         else:
             if use_pallas:
-                from ..ops.pallas.roi_align_pallas import roi_align_pallas
+                from ..ops.pallas.roi_align_pallas import \
+                    roi_align_pallas_ad
 
                 b = rois.shape[0]
                 out = jnp.stack([
-                    roi_align_pallas(feats[0][i], rois[i],
-                                     1.0 / cfg.rpn.stride, resolution, sr,
-                                     interpret=cfg.fast_rcnn.pallas_interpret)
+                    roi_align_pallas_ad(feats[0][i], rois[i],
+                                        1.0 / cfg.rpn.stride, resolution,
+                                        sr, cfg.fast_rcnn.pallas_interpret)
                     for i in range(b)])
             else:
                 def per_image(f, bx):

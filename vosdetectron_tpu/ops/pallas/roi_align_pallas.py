@@ -658,3 +658,88 @@ def roi_align_pyramid_pallas(feats, rois: jnp.ndarray, strides,
     if batched:
         return out.reshape(b, r, pooled, pooled, c)
     return out
+
+
+# ------------------------------------------------------------------ autodiff
+#
+# The window kernels are forward-only (pallas_call has no JVP rule), but
+# workload 4 trains THROUGH RoIAlign (reference: roi_align_kernel.cu has a
+# dedicated backward kernel, SURVEY.md §2.1). Instead of a hand-written
+# scatter-add backward kernel, the custom_vjp below differentiates the
+# exact jnp implementation (ops/roi_align.py) in the backward pass: the
+# Pallas forward and the exact forward agree to float tolerance, so the
+# exact VJP *is* the right cotangent, and XLA's gather transpose becomes
+# the scatter-add the CUDA backward hand-rolled. RoIs get zero gradient
+# (reference semantics: boxes are inputs, never differentiated).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def roi_align_pyramid_pallas_ad(feats, rois, strides, k_min, k_max,
+                                pooled, sampling_ratio, canonical_scale,
+                                canonical_level, interpret):
+    """Differentiable batched pyramid RoIAlign: Pallas forward, exact-jnp
+    backward. feats: tuple of 4 (B, h_l, w_l, C) maps; rois: (B, R, 4)."""
+    return roi_align_pyramid_pallas(
+        list(feats), rois, list(strides), k_min, k_max, pooled,
+        sampling_ratio, canonical_scale, canonical_level,
+        interpret=interpret)
+
+
+def _pyr_ad_fwd(feats, rois, strides, k_min, k_max, pooled, sampling_ratio,
+                canonical_scale, canonical_level, interpret):
+    out = roi_align_pyramid_pallas_ad(
+        feats, rois, strides, k_min, k_max, pooled, sampling_ratio,
+        canonical_scale, canonical_level, interpret)
+    return out, (feats, rois)
+
+
+def _pyr_ad_bwd(strides, k_min, k_max, pooled, sampling_ratio,
+                canonical_scale, canonical_level, interpret, res, g):
+    feats, rois = res
+
+    def exact(fs):
+        def per_image(f_list, bx):
+            return roi_align_pyramid(
+                [f.astype(jnp.float32) for f in f_list], bx, list(strides),
+                k_min, k_max, pooled, sampling_ratio, canonical_scale,
+                canonical_level)
+
+        return jax.vmap(per_image)(fs, rois)
+
+    _, vjp = jax.vjp(exact, feats)
+    (gf,) = vjp(g.astype(jnp.float32))
+    gf = tuple(gi.astype(f.dtype) for gi, f in zip(gf, feats))
+    return gf, jnp.zeros_like(rois)
+
+
+roi_align_pyramid_pallas_ad.defvjp(_pyr_ad_fwd, _pyr_ad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def roi_align_pallas_ad(feat, rois, spatial_scale, pooled, sampling_ratio,
+                        interpret):
+    """Differentiable single-level RoIAlign: Pallas forward, exact-jnp
+    backward. feat: (H, W, C); rois: (N, 4)."""
+    return roi_align_pallas(feat, rois, spatial_scale, pooled,
+                            sampling_ratio, interpret=interpret)
+
+
+def _sl_ad_fwd(feat, rois, spatial_scale, pooled, sampling_ratio,
+               interpret):
+    out = roi_align_pallas_ad(feat, rois, spatial_scale, pooled,
+                              sampling_ratio, interpret)
+    return out, (feat, rois)
+
+
+def _sl_ad_bwd(spatial_scale, pooled, sampling_ratio, interpret, res, g):
+    feat, rois = res
+
+    def exact(f):
+        return roi_align(f.astype(jnp.float32), rois, spatial_scale,
+                         pooled, sampling_ratio)
+
+    _, vjp = jax.vjp(exact, feat)
+    (gf,) = vjp(g.astype(jnp.float32))
+    return gf.astype(feat.dtype), jnp.zeros_like(rois)
+
+
+roi_align_pallas_ad.defvjp(_sl_ad_fwd, _sl_ad_bwd)
