@@ -301,9 +301,11 @@ def test_detectron_pkl_fpn_roundtrip(rng):
     np.testing.assert_array_equal(
         np.asarray(merged["body"]["stem"]["conv1"]["kernel"]),
         np.transpose(bl["conv1_w"], (2, 3, 1, 0)))
+    # deconv additionally flips spatially (flax ConvTranspose does not
+    # mirror the kernel; torch/caffe2 transposed conv does)
     np.testing.assert_array_equal(
         np.asarray(merged["mask_head"]["upconv"]["kernel"]),
-        np.transpose(bl["conv5_mask_w"], (2, 3, 0, 1)))
+        np.transpose(bl["conv5_mask_w"][:, :, ::-1, ::-1], (2, 3, 0, 1)))
     img = jnp.asarray(rng.randn(1, 128, 192, 3).astype(np.float32))
     hw = jnp.asarray([[128.0, 192.0]])
     out = model.apply({"params": merged}, img, hw)
@@ -470,3 +472,30 @@ def test_coverage_report_flags_drifted_pkl_blob(rng):
     assert "conv_rpn_w_DRIFTED" in rep["unconsumed_keys"]
     assert len(rep["unconsumed_keys"]) == 1, rep["unconsumed_keys"]
     assert rep["unfilled_params"] == [], rep["unfilled_params"]
+
+
+def test_deconv_import_matches_torch(rng):
+    """_t_deconv must spatially flip: flax ConvTranspose does not mirror
+    the kernel while torch's transposed conv does. Covers both deconv
+    geometries we import (mask upconv k2/s2, keypoint score_lowres
+    k4/s2/p1)."""
+    torch = pytest.importorskip("torch")
+    import flax.linen as nn
+    import jax
+
+    x = rng.randn(2, 8, 8, 5).astype(np.float32)
+    for k, s, p, pad in ((2, 2, 0, "VALID"), (4, 2, 1, "SAME")):
+        w = rng.randn(5, 3, k, k).astype(np.float32)
+        b = rng.randn(3).astype(np.float32)
+        t = torch.nn.ConvTranspose2d(5, 3, k, stride=s, padding=p)
+        with torch.no_grad():
+            t.weight.copy_(torch.from_numpy(w))
+            t.bias.copy_(torch.from_numpy(b))
+            yt = t(torch.from_numpy(x.transpose(0, 3, 1, 2))
+                   ).numpy().transpose(0, 2, 3, 1)
+        m = nn.ConvTranspose(3, (k, k), strides=(s, s), padding=pad)
+        with jax.default_matmul_precision("float32"):
+            yj = m.apply({"params": {"kernel": jnp.asarray(Z._t_deconv(w)),
+                                     "bias": jnp.asarray(b)}},
+                         jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(yj), yt, atol=1e-4)

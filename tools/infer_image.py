@@ -43,8 +43,10 @@ def main():
         scores = np.asarray(out.scores[0])
         classes = np.asarray(out.classes[0])
         valid = np.asarray(out.valid[0]) & (scores >= args.thresh)
-        pasted = np.asarray(det.paste(out, im.shape[0], im.shape[1],
-                                      scale)[0])
+        pasted = None
+        if out.masks is not None:
+            pasted = np.asarray(det.paste(out, im.shape[0], im.shape[1],
+                                          scale)[0])
         n = int(valid.sum())
         print(f"{path}: {n} detections >= {args.thresh}")
         for j in np.nonzero(valid)[0]:
@@ -53,6 +55,12 @@ def main():
                   f"box=({x1:.0f},{y1:.0f},{x2:.0f},{y2:.0f})")
         if args.out and i == 0:
             vis = draw_detections(im, boxes, scores, classes, valid, pasted)
+            if out.keypoints is not None:
+                from vosdetectron_tpu.utils.vis import draw_keypoints
+
+                kps = np.asarray(out.keypoints[0]).copy()
+                kps[:, :, :2] /= scale
+                vis = draw_keypoints(vis, kps, valid)
             import cv2
 
             cv2.imwrite(args.out, vis)

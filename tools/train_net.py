@@ -105,7 +105,9 @@ def main():
                 gt = GroundTruth(jnp.asarray(gt_np["boxes"]),
                                  jnp.asarray(gt_np["classes"]),
                                  jnp.asarray(gt_np["masks"]),
-                                 jnp.asarray(gt_np["valid"]))
+                                 jnp.asarray(gt_np["valid"]),
+                                 jnp.asarray(gt_np["keypoints"])
+                                 if "keypoints" in gt_np else None)
                 imgs = jnp.asarray(images)
                 hw = jnp.asarray(im_hw)
                 if mesh is not None:

@@ -40,6 +40,9 @@ class ModelCfg:
     conv_body: str = "fpn_resnet50"  # "resnet50_c4" | "fpn_resnet50"
     num_classes: int = 81  # COCO default; DAVIS fine-tune overrides
     mask_on: bool = True
+    # Keypoint R-CNN branch (reference: cfg.MODEL.KEYPOINTS_ON +
+    # lib/modeling/keypoint_rcnn_heads.py; person-keypoint models).
+    keypoint_on: bool = False
     # Bbox regression weights — Detectron (10, 10, 5, 5).
     bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
     cls_agnostic_bbox_reg: bool = False
@@ -141,6 +144,30 @@ class MRCNNCfg:
     dim_reduced: int = 256
     conv_layers: int = 4
     thresh_binarize: float = 0.5
+
+
+@dataclass(frozen=True)
+class KRCNNCfg:
+    """Reference: cfg.KRCNN (lib/modeling/keypoint_rcnn_heads.py
+    add_roi_pose_head_v1convX: 8x conv3x3(512) -> ConvTranspose 4x4/2 ->
+    2x bilinear upsample -> per-keypoint heatmap logits; spatial-softmax
+    CE loss over visible keypoints, lib/roi_data/keypoint_rcnn.py)."""
+
+    num_keypoints: int = 17  # COCO person keypoints
+    roi_xform_resolution: int = 14
+    roi_xform_sampling_ratio: int = 2
+    conv_layers: int = 8
+    dim: int = 512
+    # Heatmap side = roi_xform_resolution * 2 (deconv) * up_scale.
+    up_scale: int = 2
+    # Loss normalizer: mean over visible keypoints
+    # (cfg.KRCNN.NORMALIZE_BY_VISIBLE_KEYPOINTS).
+    normalize_by_visible: bool = True
+    loss_weight: float = 1.0
+
+    @property
+    def resolution(self) -> int:
+        return self.roi_xform_resolution * 2 * self.up_scale
 
 
 @dataclass(frozen=True)
@@ -309,6 +336,7 @@ class Config:
     rpn: RPNCfg = field(default_factory=RPNCfg)
     fast_rcnn: FastRCNNCfg = field(default_factory=FastRCNNCfg)
     mrcnn: MRCNNCfg = field(default_factory=MRCNNCfg)
+    krcnn: KRCNNCfg = field(default_factory=KRCNNCfg)
     train: TrainCfg = field(default_factory=TrainCfg)
     test: TestCfg = field(default_factory=TestCfg)
     solver: SolverCfg = field(default_factory=SolverCfg)

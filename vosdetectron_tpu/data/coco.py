@@ -29,7 +29,34 @@ DATASET_CATALOG: Dict[str, Tuple[str, str]] = {
                         "coco/annotations/instances_train2017.json"),
     "coco_2017_val": ("coco/images/val2017",
                       "coco/annotations/instances_val2017.json"),
+    "keypoints_coco_2017_train": (
+        "coco/images/train2017",
+        "coco/annotations/person_keypoints_train2017.json"),
+    "keypoints_coco_2017_val": (
+        "coco/images/val2017",
+        "coco/annotations/person_keypoints_val2017.json"),
 }
+
+# COCO person keypoint names + horizontal-flip pairs
+# (reference: lib/utils/keypoints.py::get_keypoints).
+COCO_KP_NAMES = (
+    "nose", "left_eye", "right_eye", "left_ear", "right_ear",
+    "left_shoulder", "right_shoulder", "left_elbow", "right_elbow",
+    "left_wrist", "right_wrist", "left_hip", "right_hip",
+    "left_knee", "right_knee", "left_ankle", "right_ankle")
+_KP_FLIP_PERM = np.asarray(
+    [COCO_KP_NAMES.index(n.replace("left_", "X_").replace(
+        "right_", "left_").replace("X_", "right_"))
+     for n in COCO_KP_NAMES], np.int32)
+
+
+def flip_keypoints(kps: np.ndarray, width: int) -> np.ndarray:
+    """Horizontal flip of (G, K, 3) COCO keypoints: mirror x, swap L/R
+    (reference: lib/utils/keypoints.py::flip_keypoints)."""
+    out = kps[:, _KP_FLIP_PERM].copy()
+    vis = out[..., 2] > 0
+    out[..., 0] = np.where(vis, width - out[..., 0] - 1, out[..., 0])
+    return out
 
 
 @dataclass
@@ -42,6 +69,12 @@ class CocoExample:
     segms: list              # per-instance polygon lists or RLE dicts
     iscrowd: np.ndarray      # (G,) bool
     flipped: bool = False
+    # (G, K, 3) (x, y, vis) COCO keypoints, or None when the annotation
+    # file has none (reference: roidb 'gt_keypoints').
+    keypoints: Optional[np.ndarray] = None
+    # (G,) annotation 'area' (segment area) — COCOeval buckets GT into
+    # area ranges (and scales OKS) by THIS, not the box area.
+    areas: Optional[np.ndarray] = None
 
 
 class CocoDataset:
@@ -76,7 +109,8 @@ class CocoDataset:
                 include_crowd: bool = False) -> CocoExample:
         im = self.images[image_id]
         anns = self.anns_by_image.get(image_id, [])
-        boxes, classes, segms, crowd = [], [], [], []
+        boxes, classes, segms, crowd, kps, areas = [], [], [], [], [], []
+        has_kps = False
         for a in anns:
             if a.get("ignore", 0):
                 continue
@@ -90,13 +124,28 @@ class CocoDataset:
             classes.append(self.cat_to_contiguous[a["category_id"]])
             segms.append(a.get("segmentation", []))
             crowd.append(is_crowd)
+            areas.append(float(a.get("area", w * h)))
+            kp = a.get("keypoints")
+            if kp:
+                has_kps = True
+                kps.append(np.asarray(kp, np.float32).reshape(-1, 3))
+            else:
+                kps.append(None)
+        keypoints = None
+        if has_kps:
+            nk = next(k.shape[0] for k in kps if k is not None)
+            keypoints = np.stack([
+                k if k is not None else np.zeros((nk, 3), np.float32)
+                for k in kps]) if kps else np.zeros((0, nk, 3), np.float32)
         return CocoExample(
             image_path=os.path.join(self.image_dir, im["file_name"]),
             height=im["height"], width=im["width"],
             boxes=np.asarray(boxes, np.float32).reshape(-1, 4),
             classes=np.asarray(classes, np.int32),
             segms=segms,
-            iscrowd=np.asarray(crowd, bool))
+            iscrowd=np.asarray(crowd, bool),
+            keypoints=keypoints,
+            areas=np.asarray(areas, np.float64))
 
     def gt_mask(self, segm, h: int, w: int) -> np.ndarray:
         """Segmentation (polygons or RLE dict) -> (h, w) uint8 mask."""
@@ -133,12 +182,15 @@ def load_coco_example(cfg: Config, dataset: CocoDataset, image_id: int,
     if im is None:
         raise FileNotFoundError(ex.image_path)
     gt_boxes = ex.boxes.copy()
+    gt_kps = ex.keypoints.copy() if ex.keypoints is not None else None
     if flipped:
         im = im[:, ::-1]
         w = ex.width
         gt_boxes = gt_boxes[:, [2, 1, 0, 3]]
         gt_boxes[:, 0] = w - gt_boxes[:, 0]
         gt_boxes[:, 2] = w - gt_boxes[:, 2]
+        if gt_kps is not None:
+            gt_kps = flip_keypoints(gt_kps, w)
 
     h, w = im.shape[:2]
     s = min(scale / min(h, w), cfg.train.max_size / max(h, w))
@@ -174,4 +226,10 @@ def load_coco_example(cfg: Config, dataset: CocoDataset, image_id: int,
         masks[i] = cv2.resize(canvas, (mw, mh),
                               interpolation=cv2.INTER_LINEAR)
     gt = dict(boxes=boxes, classes=classes, masks=masks, valid=valid)
+    if gt_kps is not None:
+        nk = gt_kps.shape[1]
+        kp = np.zeros((g, nk, 3), np.float32)
+        kp[:n, :, :2] = gt_kps[:n, :, :2] * s   # padded-image coords
+        kp[:n, :, 2] = gt_kps[:n, :, 2]
+        gt["keypoints"] = kp
     return img, np.asarray([nh, nw], np.float32), gt

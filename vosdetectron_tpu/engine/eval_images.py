@@ -44,6 +44,7 @@ def evaluate_coco(detector: Detector, dataset: CocoDataset,
     ev_box = CocoEvaluator("bbox", cfg.test.detections_per_im)
     ev_segm = CocoEvaluator("segm", cfg.test.detections_per_im) \
         if (with_masks and cfg.model.mask_on) else None
+    ev_kps = CocoEvaluator("keypoints") if cfg.model.keypoint_on else None
 
     ids = dataset.image_ids()
     if max_images:
@@ -102,12 +103,27 @@ def evaluate_coco(detector: Detector, dataset: CocoDataset,
                     dataset.gt_mask(sg, ex.height, ex.width)
                     for sg in ex.segms]) if len(ex.segms) else \
                     np.zeros((0, ex.height, ex.width), np.uint8)
+            # COCOeval buckets GT by the annotation 'area' (and scales
+            # OKS by it) — not the box area.
+            ga = ex.areas
             ev_box.add_image(det_boxes, det_scores, det_classes,
-                             ex.boxes, ex.classes, ex.iscrowd)
+                             ex.boxes, ex.classes, ex.iscrowd,
+                             gt_areas=ga)
             if ev_segm is not None:
                 ev_segm.add_image(det_boxes, det_scores, det_classes,
                                   ex.boxes, ex.classes, ex.iscrowd,
-                                  det_masks=det_masks, gt_masks=gt_masks)
+                                  det_masks=det_masks, gt_masks=gt_masks,
+                                  gt_areas=ga)
+            if ev_kps is not None and dets.keypoints is not None:
+                det_kps = np.asarray(dets.keypoints[bi])[v].copy()
+                det_kps[:, :, :2] /= scales[bi]   # back to original coords
+                nk = det_kps.shape[1] if len(det_kps) else 17
+                gt_kps = (ex.keypoints if ex.keypoints is not None
+                          else np.zeros((len(ex.boxes), nk, 3), np.float32))
+                ev_kps.add_image(det_boxes, det_scores, det_classes,
+                                 ex.boxes, ex.classes, ex.iscrowd,
+                                 det_kps=det_kps, gt_kps=gt_kps,
+                                 gt_areas=ga)
 
     if merge_processes and pc > 1 and process_index is None:
         # (explicit process_index means the caller simulates sharding in
@@ -115,9 +131,13 @@ def evaluate_coco(detector: Detector, dataset: CocoDataset,
         ev_box = ev_box.merge_across_processes()
         if ev_segm is not None:
             ev_segm = ev_segm.merge_across_processes()
+        if ev_kps is not None:
+            ev_kps = ev_kps.merge_across_processes()
     out = {"bbox": ev_box.summarize()}
     if ev_segm is not None:
         out["segm"] = ev_segm.summarize()
+    if ev_kps is not None:
+        out["keypoints"] = ev_kps.summarize()
     return out
 
 

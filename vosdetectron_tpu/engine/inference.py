@@ -32,6 +32,7 @@ class Detections(NamedTuple):
     classes: jnp.ndarray  # (B, D) int32 (1..K-1)
     valid: jnp.ndarray    # (B, D) bool
     masks: Optional[jnp.ndarray] = None  # (B, D, M, M) sigmoid probs
+    keypoints: Optional[jnp.ndarray] = None  # (B, D, K, 3) x, y, prob
 
 
 # ---------------------------------------------------------------------------
@@ -130,6 +131,57 @@ def select_class_masks(mask_logits: jnp.ndarray,
         mask_logits, classes[:, :, None, None, None].astype(jnp.int32),
         axis=-1)[..., 0]
     return jax.nn.sigmoid(sel)
+
+
+def decode_keypoints(kp_logits: jnp.ndarray,
+                     boxes: jnp.ndarray) -> jnp.ndarray:
+    """Heatmap logits -> image-coordinate keypoints
+    (reference: lib/utils/keypoints.py::heatmaps_to_keypoints, which
+    cv2-resizes each heatmap to the roi and takes the argmax; here the
+    argmax runs on the fixed heatmap grid with a parabolic sub-cell
+    refinement — fully on-device, fixed shapes, no per-roi host resize).
+
+    kp_logits: (B, D, Hm, Wm, K); boxes: (B, D, 4) xyxy image coords.
+    Returns (B, D, K, 3): x, y in image coords; softmax prob of the peak.
+    """
+    b, d, hm, wm, k = kp_logits.shape
+    logits = kp_logits.reshape(b * d, hm * wm, k).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=1)
+    idx = jnp.argmax(logits, axis=1)                       # (BD, K)
+    peak = jnp.take_along_axis(probs, idx[:, None, :], axis=1)[:, 0, :]
+    iy = idx // wm
+    ix = idx % wm
+
+    # Parabolic (3-point quadratic) refinement of the peak along each axis,
+    # clamped to +-0.5 cell; recovers most of the reference's sub-cell
+    # accuracy without the per-roi cubic resize.
+    grid = logits.reshape(b * d, hm, wm, k)
+
+    def axis_offset(center, lo, hi):
+        denom = lo + hi - 2.0 * center
+        off = jnp.where(jnp.abs(denom) > 1e-6,
+                        0.5 * (lo - hi) / jnp.where(
+                            jnp.abs(denom) > 1e-6, denom, 1.0), 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    bd = jnp.arange(b * d)[:, None]
+    kk = jnp.arange(k)[None, :]
+    cx = grid[bd, iy, ix, kk]
+    offx = axis_offset(cx,
+                       grid[bd, iy, jnp.maximum(ix - 1, 0), kk],
+                       grid[bd, iy, jnp.minimum(ix + 1, wm - 1), kk])
+    offy = axis_offset(cx,
+                       grid[bd, jnp.maximum(iy - 1, 0), ix, kk],
+                       grid[bd, jnp.minimum(iy + 1, hm - 1), ix, kk])
+
+    bx = boxes.reshape(b * d, 4)
+    x1, y1 = bx[:, 0:1], bx[:, 1:2]
+    sw = (bx[:, 2:3] - bx[:, 0:1]) / wm
+    sh = (bx[:, 3:4] - bx[:, 1:2]) / hm
+    x = x1 + (ix.astype(jnp.float32) + 0.5 + offx) * sw
+    y = y1 + (iy.astype(jnp.float32) + 0.5 + offy) * sh
+    out = jnp.stack([x, y, peak], axis=-1)                  # (BD, K, 3)
+    return out.reshape(b, d, k, 3)
 
 
 def collect_candidates(outputs: RCNNOutputs, im_hw: jnp.ndarray,
@@ -232,14 +284,21 @@ class Detector:
     def _detect(self, params, images, im_hw) -> Detections:
         out = self.model.apply({"params": params}, images, im_hw)
         dets = postprocess_boxes(out, im_hw, self.cfg)
-        if not self.cfg.model.mask_on:
-            return dets
-        mask_logits = self.model.apply(
-            {"params": params}, out.feats, dets.boxes,
-            method=GeneralizedRCNN.mask_branch)
-        masks = select_class_masks(mask_logits, dets.classes)
-        return Detections(dets.boxes, dets.scores, dets.classes, dets.valid,
-                          masks)
+        if self.cfg.model.mask_on:
+            mask_logits = self.model.apply(
+                {"params": params}, out.feats, dets.boxes,
+                method=GeneralizedRCNN.mask_branch)
+            dets = dets._replace(
+                masks=select_class_masks(mask_logits, dets.classes))
+        if self.cfg.model.keypoint_on:
+            # reference: lib/core/test.py::im_detect_keypoints on the final
+            # detections, then heatmaps_to_keypoints.
+            kp_logits = self.model.apply(
+                {"params": params}, out.feats, dets.boxes,
+                method=GeneralizedRCNN.keypoint_branch)
+            dets = dets._replace(
+                keypoints=decode_keypoints(kp_logits, dets.boxes))
+        return dets
 
     def detect(self, images: jnp.ndarray, im_hw: jnp.ndarray) -> Detections:
         """images: (B, H, W, 3) preprocessed; im_hw: (B, 2)."""

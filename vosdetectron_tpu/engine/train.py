@@ -27,10 +27,10 @@ import optax
 
 from ..config import Config
 from ..models.generalized_rcnn import GeneralizedRCNN
-from ..models.heads import box_losses, mask_loss
+from ..models.heads import box_losses, keypoint_loss, mask_loss
 from ..models.rpn import rpn_losses
-from ..models.targets import (GroundTruth, mask_targets, rpn_targets,
-                              sample_rois)
+from ..models.targets import (GroundTruth, keypoint_targets, mask_targets,
+                              rpn_targets, sample_rois)
 from ..ops.anchors import fpn_anchors, generate_cell_anchors, shifted_anchors
 
 
@@ -168,10 +168,11 @@ def compute_losses(model: GeneralizedRCNN, params, key, images, im_hw,
     losses = {"rpn_cls": rpn_cls, "rpn_box": rpn_box,
               "cls": cls_loss, "box": box_loss}
 
+    # fg prefix size (sample_rois packs fg first) — shared by mask/keypoint.
+    mf = int(cfg.fast_rcnn.fg_fraction * cfg.fast_rcnn.batch_size_per_im)
+    fg_rois = rois[:, :mf]
+
     if cfg.model.mask_on:
-        # Mask branch on the fg prefix (sample_rois packs fg first).
-        mf = int(cfg.fast_rcnn.fg_fraction * cfg.fast_rcnn.batch_size_per_im)
-        fg_rois = rois[:, :mf]
         mask_logits = model.apply(
             {"params": params}, feats, fg_rois,
             method=GeneralizedRCNN.mask_branch)  # (B, mf, M, M, K)
@@ -186,6 +187,23 @@ def compute_losses(model: GeneralizedRCNN, params, key, images, im_hw,
             mts.reshape(b * mf, m, m),
             roi_labels[:, :mf].reshape(-1),
             (roi_fg[:, :mf] & roi_valid[:, :mf]).reshape(-1))
+
+    if cfg.model.keypoint_on and gt.keypoints is not None:
+        # Keypoint branch on the same fg prefix (reference:
+        # lib/roi_data/keypoint_rcnn.py samples fg rois with visible kps).
+        kp_logits = model.apply(
+            {"params": params}, feats, fg_rois,
+            method=GeneralizedRCNN.keypoint_branch)  # (B, mf, Hm, Hm, K)
+        hm = kp_logits.shape[2]
+        fgv = roi_fg[:, :mf] & roi_valid[:, :mf]
+        kts, kvs = jax.vmap(lambda gk, r, gi, fv: keypoint_targets(
+            gk, r, gi, fv, hm))(
+                gt.keypoints, fg_rois, roi_gtidx[:, :mf], fgv)
+        nk = kp_logits.shape[-1]
+        losses["keypoint"] = keypoint_loss(
+            kp_logits.reshape(b * mf, hm, hm, nk),
+            kts.reshape(b * mf, nk), kvs.reshape(b * mf, nk),
+            cfg.krcnn.normalize_by_visible, cfg.krcnn.loss_weight)
 
     total = sum(losses.values())
     return total, losses
@@ -258,11 +276,43 @@ class Trainer:
         ckptr.wait_until_finished()
 
     def load(self, path: str) -> None:
+        """Restore {step, params, opt_state} — or, for params-only
+        checkpoints (committed bf16 copies, tools/convert_weights.py
+        imports), restore params alone (cast to the model's param dtype)
+        with a fresh optimizer at step 0 (reference: load_ckpt
+        restores model-only when the .pth has no optimizer entry)."""
+        import os
+
         import orbax.checkpoint as ocp
 
+        from ..utils.checkpoint import latest_checkpoint
+
+        path = os.path.abspath(path)
+        if os.path.isdir(path) and not os.path.basename(path).startswith(
+                "step_"):
+            found = latest_checkpoint(path)
+            if found is not None:
+                path = found
         ckptr = ocp.StandardCheckpointer()
-        target = {"step": 0, "params": self.state.params,
-                  "opt_state": self.state.opt_state}
-        restored = ckptr.restore(path, target)
-        self.state = TrainState(jnp.asarray(restored["step"], jnp.int32),
-                                restored["params"], restored["opt_state"])
+        try:
+            target = {"step": 0, "params": self.state.params,
+                      "opt_state": self.state.opt_state}
+            restored = ckptr.restore(path, target)
+            self.state = TrainState(
+                jnp.asarray(restored["step"], jnp.int32),
+                restored["params"], restored["opt_state"])
+            return
+        except Exception:
+            pass
+        raw = ckptr.restore(path)
+        params = raw["params"] if isinstance(raw, dict) and "params" in raw \
+            else raw
+        params = jax.tree_util.tree_map(
+            lambda t, x: jnp.asarray(x, t.dtype), self.state.params, params)
+        state = TrainState(jnp.zeros((), jnp.int32), params,
+                           self.tx.init(params))
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            state = replicate(self.mesh, state)
+        self.state = state

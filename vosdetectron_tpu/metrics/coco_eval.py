@@ -43,6 +43,56 @@ AREA_RANGES: Dict[str, Tuple[float, float]] = {
 }
 MAX_DETS = (1, 10, 100)
 
+# Per-keypoint OKS falloff constants (COCOeval.params.kpt_oks_sigmas) —
+# the published human-annotator variances for the 17 COCO person kps.
+KP_OKS_SIGMAS = np.asarray(
+    [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+     1.07, 1.07, .87, .87, .89, .89], np.float64) / 10.0
+
+
+def _oks(det_kps: np.ndarray, gt_kps: np.ndarray, gt_boxes: np.ndarray,
+         gt_areas: np.ndarray,
+         sigmas: Optional[np.ndarray] = None) -> np.ndarray:
+    """Object-keypoint-similarity matrix (D, G)
+    (reference eval protocol: pycocotools COCOeval.computeOks — rebuilt,
+    pycocotools unavailable). For GT with no labeled keypoint, distances
+    are taken from the gt box with a 2x tolerance margin (the COCOeval
+    fallback so crowd-ish GT can still absorb detections)."""
+    d, k = det_kps.shape[0], det_kps.shape[1]
+    g = gt_kps.shape[0]
+    if d == 0 or g == 0:
+        return np.zeros((d, g), np.float32)
+    if sigmas is None:
+        sigmas = (KP_OKS_SIGMAS if k == len(KP_OKS_SIGMAS)
+                  else np.full((k,), 0.05, np.float64))
+    var = (2.0 * sigmas) ** 2                                # (K,)
+    xd = det_kps[:, None, :, 0]                              # (D, 1, K)
+    yd = det_kps[:, None, :, 1]
+    xg = gt_kps[None, :, :, 0]                               # (1, G, K)
+    yg = gt_kps[None, :, :, 1]
+    vis = gt_kps[:, :, 2] > 0                                # (G, K)
+    dx = xd - xg
+    dy = yd - yg
+    # COCOeval fallback for fully-unlabeled GT: clamp distances to the
+    # box grown by one box-size in every direction.
+    x1 = gt_boxes[:, 0] - (gt_boxes[:, 2] - gt_boxes[:, 0])
+    x2 = gt_boxes[:, 2] + (gt_boxes[:, 2] - gt_boxes[:, 0])
+    y1 = gt_boxes[:, 1] - (gt_boxes[:, 3] - gt_boxes[:, 1])
+    y2 = gt_boxes[:, 3] + (gt_boxes[:, 3] - gt_boxes[:, 1])
+    zx = (np.clip(x1[None, :, None] - xd, 0, None)
+          + np.clip(xd - x2[None, :, None], 0, None))
+    zy = (np.clip(y1[None, :, None] - yd, 0, None)
+          + np.clip(yd - y2[None, :, None], 0, None))
+    none_vis = ~vis.any(axis=1)                              # (G,)
+    dx = np.where(none_vis[None, :, None], zx, dx)
+    dy = np.where(none_vis[None, :, None], zy, dy)
+    e = (dx ** 2 + dy ** 2) / var[None, None, :] \
+        / (gt_areas[None, :, None] + np.spacing(1)) / 2.0
+    use = np.where(none_vis[:, None], True, vis)[None]       # (1, G, K)
+    n = np.maximum(use.sum(axis=2), 1)
+    return (np.where(use, np.exp(-e), 0.0).sum(axis=2) / n).astype(
+        np.float32)
+
 
 def _match_image_category(iou: np.ndarray, gt_ig: np.ndarray,
                           gt_crowd: np.ndarray, det_oor: np.ndarray
@@ -131,9 +181,12 @@ class CocoEvaluator:
     """
 
     def __init__(self, iou_type: str = "bbox",
-                 max_dets=MAX_DETS):
-        assert iou_type in ("bbox", "segm")
+                 max_dets=None):
+        assert iou_type in ("bbox", "segm", "keypoints")
         self.iou_type = iou_type
+        if max_dets is None:
+            # COCOeval defaults: 1/10/100 for bbox+segm, 20 for keypoints.
+            max_dets = (20,) if iou_type == "keypoints" else MAX_DETS
         if isinstance(max_dets, int):
             max_dets = (1, 10, max_dets) if max_dets > 10 else (max_dets,)
         self.max_dets = tuple(sorted(max_dets))
@@ -148,8 +201,12 @@ class CocoEvaluator:
                   gt_crowd: Optional[np.ndarray] = None,
                   det_masks: Optional[np.ndarray] = None,
                   gt_masks: Optional[np.ndarray] = None,
-                  gt_areas: Optional[np.ndarray] = None) -> None:
+                  gt_areas: Optional[np.ndarray] = None,
+                  det_kps: Optional[np.ndarray] = None,
+                  gt_kps: Optional[np.ndarray] = None) -> None:
         """Boxes xyxy; masks (N, H, W) binary when iou_type='segm';
+        kps (N, K, 3) when iou_type='keypoints' (similarity = OKS; GT
+        with zero labeled keypoints is ignored, COCOeval semantics);
         gt_areas defaults to mask area (segm) / box area (bbox), matching
         COCO's annotation-area convention when true areas are absent."""
         if gt_crowd is None:
@@ -193,19 +250,28 @@ class CocoEvaluator:
                     crowd_iou = native.mask_iou(det_masks[order],
                                                 gt_masks[gsel],
                                                 iscrowd=True)
+                    iou = np.where(crowd[None, :], crowd_iou, iou)
+                elif self.iou_type == "keypoints":
+                    # OKS is already tolerance-scaled; COCOeval uses the
+                    # same matrix for crowd GT.
+                    iou = _oks(det_kps[order], gt_kps[gsel],
+                               gt_boxes[gsel], gt_areas[gsel])
                 else:
                     iou = native.bbox_overlaps(det_boxes[order],
                                                gt_boxes[gsel])
                     crowd_iou = _crowd_box_iou(det_boxes[order],
                                                gt_boxes[gsel])
-                iou = np.where(crowd[None, :], crowd_iou, iou)
+                    iou = np.where(crowd[None, :], crowd_iou, iou)
             else:
                 iou = np.zeros((len(order), len(gsel)), np.float32)
 
             ga = gt_areas[gsel]
             da = det_areas[order]
+            kp_unlabeled = (np.asarray(gt_kps)[gsel, :, 2] <= 0).all(axis=1) \
+                if self.iou_type == "keypoints" and len(gsel) \
+                else np.zeros(len(gsel), bool)
             for area, (lo, hi) in AREA_RANGES.items():
-                gt_ig = crowd | (ga < lo) | (ga > hi)
+                gt_ig = crowd | (ga < lo) | (ga > hi) | kp_unlabeled
                 det_oor = (da < lo) | (da > hi)
                 tp, ig = _match_image_category(iou, gt_ig, crowd, det_oor)
                 self._per_image[(c, area)].append((scores, tp, ig))

@@ -29,7 +29,7 @@ from ..config import Config
 from ..ops.anchors import fpn_anchors, generate_cell_anchors, shifted_anchors
 from ..ops.roi_align import roi_align, roi_align_pyramid
 from .fpn import FPN
-from .heads import BoxMLPHead, BoxOutputs, MaskHead
+from .heads import BoxMLPHead, BoxOutputs, KeypointHead, MaskHead
 from .resnet import Res5RoIHead, ResNetBody
 from .rpn import (Proposals, RPNHead, fpn_proposals,
                   single_scale_proposals)
@@ -106,6 +106,12 @@ class GeneralizedRCNN(nn.Module):
                                       dim=cfg.mrcnn.dim_reduced,
                                       num_convs=cfg.mrcnn.conv_layers,
                                       dtype=dt, name="mask_head")
+        if cfg.model.keypoint_on:
+            self.keypoint_head = KeypointHead(
+                num_keypoints=cfg.krcnn.num_keypoints, dim=cfg.krcnn.dim,
+                num_convs=cfg.krcnn.conv_layers,
+                up_scale=cfg.krcnn.up_scale, dtype=dt,
+                name="keypoint_head")
         self._box_in_res = box_in_res
 
     # -- anchors (trace-time constants from static feature shapes) --------
@@ -257,9 +263,11 @@ class GeneralizedRCNN(nn.Module):
     def init_all(self, images: jnp.ndarray, im_hw: jnp.ndarray):
         """Initialization entrypoint touching every branch (incl. mask)."""
         out = self(images, im_hw)
+        dummy = out.proposals.boxes[:, : 1, :]
         if self.cfg.model.mask_on:
-            dummy = out.proposals.boxes[:, : 1, :]
             self.mask_branch(out.feats, dummy)
+        if self.cfg.model.keypoint_on:
+            self.keypoint_branch(out.feats, dummy)
         return out
 
     def _legacy_roi_transform(self, feats, rois: jnp.ndarray,
@@ -307,3 +315,16 @@ class GeneralizedRCNN(nn.Module):
         logits = self.mask_head(flat).astype(jnp.float32)
         m = logits.shape[1]
         return logits.reshape(b, d, m, m, -1)
+
+    def keypoint_branch(self, feats, boxes: jnp.ndarray) -> jnp.ndarray:
+        """Keypoint heatmap logits for given boxes
+        (reference: model_builder's Keypoint_Head branch on sampled fg
+        rois / final detections): (B, D, 4) -> (B, D, Hm, Hm, K)."""
+        cfg = self.cfg
+        kf = self.roi_transform(feats, boxes,
+                                cfg.krcnn.roi_xform_resolution)
+        b, d = kf.shape[:2]
+        flat = kf.reshape((b * d,) + kf.shape[2:])
+        logits = self.keypoint_head(flat)
+        hm = logits.shape[1]
+        return logits.reshape(b, d, hm, hm, -1)

@@ -70,6 +70,40 @@ class MaskHead(nn.Module):
                        name="mask_logits")(x)
 
 
+class KeypointHead(nn.Module):
+    """Keypoint R-CNN head (reference: keypoint_rcnn_heads.py
+    add_roi_pose_head_v1convX + keypoint_outputs): 8x conv3x3(512) on the
+    14x14 RoI features, ConvTranspose 4x4 stride 2 to 28x28, then bilinear
+    2x upsample to a (56, 56, K) per-keypoint heatmap logit grid.
+
+    Input (N, P, P, C) -> logits (N, 2*P*up_scale, 2*P*up_scale, K)."""
+
+    num_keypoints: int = 17
+    dim: int = 512
+    num_convs: int = 8
+    up_scale: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_convs):
+            x = nn.relu(nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
+                                dtype=self.dtype, name=f"conv{i + 1}")(x))
+        # Deconv doubles resolution and emits the per-keypoint logits
+        # (reference: kps_score_lowres ConvTranspose2d(kernel 4, stride 2,
+        # pad 1) straight to NUM_KEYPOINTS channels). Flax "SAME" padding
+        # with stride 2 reproduces torch's k4/s2/p1 exact-2x output size.
+        x = nn.ConvTranspose(self.num_keypoints, (4, 4), strides=(2, 2),
+                             padding="SAME", dtype=self.dtype,
+                             name="score_lowres")(x)
+        if self.up_scale > 1:
+            n, h, w, k = x.shape
+            x = jax.image.resize(
+                x.astype(jnp.float32),
+                (n, h * self.up_scale, w * self.up_scale, k), "bilinear")
+        return x.astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Losses (reference: fast_rcnn_heads.py / mask_rcnn_heads.py loss fns)
 # ---------------------------------------------------------------------------
@@ -124,3 +158,27 @@ def mask_loss(mask_logits: jnp.ndarray, mask_targets: jnp.ndarray,
     per_roi = bce.mean(axis=(1, 2))
     n = jnp.maximum(fg_valid.sum(), 1)
     return jnp.where(fg_valid, per_roi, 0.0).sum() / n
+
+
+def keypoint_loss(kp_logits: jnp.ndarray, kp_targets: jnp.ndarray,
+                  kp_valid: jnp.ndarray,
+                  normalize_by_visible: bool = True,
+                  loss_weight: float = 1.0) -> jnp.ndarray:
+    """Spatial-softmax cross-entropy per visible keypoint
+    (reference: keypoint_rcnn_heads.py::keypoint_losses — SoftmaxWithLoss
+    over the flattened heatmap, one one-hot target cell per keypoint,
+    normalized by the number of visible keypoints in the batch).
+
+    kp_logits: (R, Hm, Wm, K); kp_targets: (R, K) int32 flattened heatmap
+    index of each gt keypoint; kp_valid: (R, K) bool (visible & inside roi
+    & roi is fg+valid).
+    """
+    r, hm, wm, k = kp_logits.shape
+    flat = kp_logits.reshape(r, hm * wm, k).transpose(0, 2, 1)  # (R, K, S)
+    logp = jax.nn.log_softmax(flat.astype(jnp.float32), axis=-1)
+    tgt = jnp.clip(kp_targets, 0, hm * wm - 1).astype(jnp.int32)
+    ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    n_vis = kp_valid.sum()
+    denom = jnp.maximum(n_vis, 1.0) if normalize_by_visible \
+        else jnp.asarray(float(r * k))
+    return loss_weight * jnp.where(kp_valid, ce, 0.0).sum() / denom

@@ -36,6 +36,10 @@ class GroundTruth(NamedTuple):
     classes: jnp.ndarray  # (B, G) int32 (>=1)
     masks: jnp.ndarray    # (B, G, mh, mw) float in [0,1], full padded frame
     valid: jnp.ndarray    # (B, G) bool
+    # Optional COCO-style keypoints (B, G, K, 3) = (x, y, visibility) in
+    # padded-image coords; None when the dataset has no keypoints
+    # (reference: roidb 'gt_keypoints' entries, lib/utils/keypoints.py).
+    keypoints: jnp.ndarray = None
 
 
 class RPNTargets(NamedTuple):
@@ -201,3 +205,34 @@ def mask_targets(gt_masks: jnp.ndarray, rois: jnp.ndarray,
 
     out = jax.vmap(bilin)(sel, y0, y1i, x0, x1i, wy, wx)
     return (out >= 0.5).astype(jnp.float32)
+
+
+def keypoint_targets(gt_kps: jnp.ndarray, rois: jnp.ndarray,
+                     gt_idx: jnp.ndarray, fg_valid: jnp.ndarray,
+                     heatmap_size: int
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Map GT keypoints into per-RoI heatmap cells
+    (reference: lib/utils/keypoints.py::keypoints_to_heatmap_labels +
+    lib/roi_data/keypoint_rcnn.py::add_keypoint_rcnn_blobs).
+
+    gt_kps: (G, K, 3) (x, y, vis) padded-image coords; rois: (S, 4);
+    gt_idx: (S,) matched gt per roi; fg_valid: (S,) bool.
+    Returns (targets (S, K) int32 flattened heatmap index,
+             valid (S, K) bool — visible AND inside the roi AND fg roi).
+    """
+    sel = gt_kps[gt_idx]                       # (S, K, 3)
+    x, y, vis = sel[..., 0], sel[..., 1], sel[..., 2]
+    x1, y1 = rois[:, 0:1], rois[:, 1:2]
+    x2, y2 = rois[:, 2:3], rois[:, 3:4]
+    sx = heatmap_size / jnp.maximum(x2 - x1, 1e-6)
+    sy = heatmap_size / jnp.maximum(y2 - y1, 1e-6)
+    hx = jnp.floor((x - x1) * sx)
+    hy = jnp.floor((y - y1) * sy)
+    # Detectron edge rule: a keypoint exactly on the far roi edge lands in
+    # the last cell rather than falling out.
+    hx = jnp.where((x == x2) & (hx == heatmap_size), heatmap_size - 1, hx)
+    hy = jnp.where((y == y2) & (hy == heatmap_size), heatmap_size - 1, hy)
+    inside = (hx >= 0) & (hx < heatmap_size) & (hy >= 0) & (hy < heatmap_size)
+    valid = inside & (vis > 0) & fg_valid[:, None]
+    tgt = (hy * heatmap_size + hx).astype(jnp.int32)
+    return jnp.where(valid, tgt, 0), valid

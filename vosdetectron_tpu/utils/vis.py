@@ -107,6 +107,47 @@ def draw_masks_contours(im_bgr: np.ndarray, masks: np.ndarray,
     return out
 
 
+# COCO person skeleton edges over the 17 keypoints
+# (reference: vis.py::vis_keypoints kp_lines from the dataset skeleton).
+COCO_SKELETON = (
+    (15, 13), (13, 11), (16, 14), (14, 12), (11, 12), (5, 11), (6, 12),
+    (5, 6), (5, 7), (6, 8), (7, 9), (8, 10), (1, 2), (0, 1), (0, 2),
+    (1, 3), (2, 4), (3, 5), (4, 6))
+
+
+def draw_keypoints(im_bgr: np.ndarray, keypoints: np.ndarray,
+                   valid: np.ndarray | None = None,
+                   kp_thresh: float = 0.05,
+                   radius: int = 3,
+                   skeleton=COCO_SKELETON) -> np.ndarray:
+    """Render per-instance keypoints + skeleton edges
+    (reference: lib/utils/vis.py::vis_keypoints).
+
+    keypoints: (N, K, 3) x, y, score; an edge draws only when both of its
+    endpoints clear kp_thresh."""
+    import cv2
+
+    out = im_bgr.astype(np.uint8).copy()
+    n, k = keypoints.shape[:2]
+    v = np.ones(n, bool) if valid is None else valid
+    for i in range(n):
+        if not v[i]:
+            continue
+        color = tuple(int(c) for c in _COLORS[i % len(_COLORS)][::-1])
+        kp = keypoints[i]
+        ok = kp[:, 2] >= kp_thresh
+        for a, b in skeleton or ():
+            if a < k and b < k and ok[a] and ok[b]:
+                cv2.line(out, (int(kp[a, 0]), int(kp[a, 1])),
+                         (int(kp[b, 0]), int(kp[b, 1])), color, 2,
+                         cv2.LINE_AA)
+        for j in range(k):
+            if ok[j]:
+                cv2.circle(out, (int(kp[j, 0]), int(kp[j, 1])), radius,
+                           color, -1, cv2.LINE_AA)
+    return out
+
+
 def side_by_side(ims: list, labels: list | None = None,
                  pad: int = 4) -> np.ndarray:
     """Horizontal composition of same-height BGR frames (pred vs GT
@@ -138,10 +179,11 @@ def vis_one_image(im_bgr: np.ndarray, boxes: np.ndarray,
                   masks: np.ndarray | None = None,
                   class_names: list | None = None,
                   score_thresh: float = 0.5,
+                  keypoints: np.ndarray | None = None,
                   out_path: str | None = None) -> np.ndarray:
     """The infer_simple.py-style single-image panel: thresholded
-    detections with masks, contours, and labels; optionally written to
-    disk (reference: vis.py::vis_one_image)."""
+    detections with masks, contours, keypoint skeletons, and labels;
+    optionally written to disk (reference: vis.py::vis_one_image)."""
     import cv2
 
     keep = valid & (scores >= score_thresh)
@@ -154,6 +196,8 @@ def vis_one_image(im_bgr: np.ndarray, boxes: np.ndarray,
     out = draw_detections(out, boxes[keep], scores[keep], classes[keep],
                           np.ones(int(keep.sum()), bool), masks_arg,
                           class_names)
+    if keypoints is not None:
+        out = draw_keypoints(out, keypoints[keep])
     if out_path:
         cv2.imwrite(out_path, out)
     return out

@@ -47,8 +47,16 @@ def _t_fc_chw(w: np.ndarray, c: int, h: int, w_: int) -> np.ndarray:
 
 def _t_deconv(w: np.ndarray) -> np.ndarray:
     """torch ConvTranspose2d weight (in, out, kh, kw) -> flax (kh, kw, in,
-    out)."""
-    return np.transpose(np.asarray(w), (2, 3, 0, 1))
+    out).
+
+    flax.linen.ConvTranspose (lax.conv_transpose) does NOT mirror the
+    kernel, while torch's transposed conv is the true gradient-of-conv
+    (spatially flipped): the kernel must be flipped along both spatial
+    axes or every imported deconv (mask upconv, keypoint score_lowres)
+    is scrambled. Verified numerically against torch for k2/s2 and
+    k4/s2/p1 (tests/test_zoo_import.py::test_deconv_import_matches_torch).
+    """
+    return np.transpose(np.asarray(w)[:, :, ::-1, ::-1], (2, 3, 0, 1))
 
 
 def fold_bn(gamma, beta, mean, var, eps: float = BN_EPS):
@@ -203,6 +211,18 @@ def import_detectron_pytorch(sd: Mapping[str, np.ndarray], cfg) -> Dict:
             "bias": sd["Mask_Head.upconv.bias"].astype(np.float32)}
         mask["mask_logits"] = conv("Mask_Outs.classify")
         params["mask_head"] = mask
+
+    if cfg.model.keypoint_on and "Keypoint_Head.conv_fcn.0.weight" in sd:
+        # reference: keypoint_rcnn_heads.roi_pose_head_v1convX (conv_fcn
+        # Sequential of conv+relu pairs) + keypoint_outputs.classify
+        # (the kps_score_lowres ConvTranspose2d).
+        kp = {}
+        for i in range(cfg.krcnn.conv_layers):
+            kp[f"conv{i + 1}"] = conv(f"Keypoint_Head.conv_fcn.{2 * i}")
+        kp["score_lowres"] = {
+            "kernel": _t_deconv(sd["Keypoint_Outs.classify.weight"]),
+            "bias": sd["Keypoint_Outs.classify.bias"].astype(np.float32)}
+        params["keypoint_head"] = kp
     return params
 
 
@@ -315,6 +335,17 @@ def import_detectron_pkl(blobs: Mapping[str, np.ndarray], cfg) -> Dict:
             "bias": bl["conv5_mask_b"].astype(np.float32)}
         mask["mask_logits"] = _c2_conv(bl, "mask_fcn_logits")
         params["mask_head"] = mask
+
+    if cfg.model.keypoint_on and "conv_fcn1_w" in bl:
+        # Caffe2 keypoint blobs: conv_fcn{i}_w/b + kps_score_lowres
+        # deconv (the 2x bilinear upsample above it carries no weights).
+        kp: Dict = {}
+        for i in range(cfg.krcnn.conv_layers):
+            kp[f"conv{i + 1}"] = _c2_conv(bl, f"conv_fcn{i + 1}")
+        kp["score_lowres"] = {
+            "kernel": _t_deconv(bl["kps_score_lowres_w"]),
+            "bias": bl["kps_score_lowres_b"].astype(np.float32)}
+        params["keypoint_head"] = kp
     return params
 
 
