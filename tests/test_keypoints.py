@@ -237,3 +237,30 @@ def test_detector_emits_keypoints():
     assert out.keypoints is not None
     assert out.keypoints.shape == (1, 8, cfg.krcnn.num_keypoints, 3)
     assert np.isfinite(np.asarray(out.keypoints)).all()
+
+
+def test_bilinear_upsample_matches_torch_fixed_deconv():
+    """bilinear_upsample_x2 == torch ConvTranspose2d(k4, s2, p1, groups=C)
+    with the FCN bilinear kernel (reference: BilinearInterpolation2d)."""
+    torch = pytest.importorskip("torch")
+    from vosdetectron_tpu.models.heads import bilinear_upsample_x2
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 7, 9, 4).astype(np.float32)
+    # reference kernel construction (lib/nn/modules/upsample.py)
+    f, c = 2, 0.75
+    og = np.ogrid[:4, :4]
+    k = ((1 - abs(og[0] / f - c)) * (1 - abs(og[1] / f - c))).astype(
+        np.float32)
+    w = np.zeros((4, 1, 4, 4), np.float32)  # (C_out, C_in/groups, kh, kw)
+    w[:, 0] = k
+    yt = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(
+            w.transpose(1, 0, 2, 3).reshape(4, 1, 4, 4)),
+        stride=2, padding=1, groups=4).numpy().transpose(0, 2, 3, 1)
+    import jax
+
+    with jax.default_matmul_precision("float32"):
+        yj = np.asarray(bilinear_upsample_x2(jnp.asarray(x)))
+    assert yj.shape == (2, 14, 18, 4)
+    np.testing.assert_allclose(yj, yt, atol=1e-5)

@@ -70,11 +70,30 @@ class MaskHead(nn.Module):
                        name="mask_logits")(x)
 
 
+def bilinear_upsample_x2(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact-2x fixed-bilinear-kernel transposed conv, depthwise
+    (reference: lib/nn/modules/upsample.py::BilinearInterpolation2d — a
+    frozen ConvTranspose2d(k=4, s=2, p=1) with the FCN bilinear kernel;
+    NOT jax.image.resize, whose border handling differs at the 1-px edge).
+    (N, H, W, C) -> (N, 2H, 2W, C)."""
+    c = x.shape[-1]
+    k1 = jnp.asarray([0.25, 0.75, 0.75, 0.25], x.dtype)
+    kern = (k1[:, None] * k1[None, :])[:, :, None, None]      # (4, 4, 1, 1)
+    kern = jnp.broadcast_to(kern, (4, 4, 1, c))
+    # lhs_dilation=2 == transposed conv; its padding in the dilated-conv
+    # view is k-1-p = 2 per side for torch's p=1. The bilinear kernel is
+    # symmetric so no spatial flip is needed.
+    return jax.lax.conv_general_dilated(
+        x, kern, window_strides=(1, 1), padding=[(2, 2), (2, 2)],
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+
+
 class KeypointHead(nn.Module):
     """Keypoint R-CNN head (reference: keypoint_rcnn_heads.py
     add_roi_pose_head_v1convX + keypoint_outputs): 8x conv3x3(512) on the
-    14x14 RoI features, ConvTranspose 4x4 stride 2 to 28x28, then bilinear
-    2x upsample to a (56, 56, K) per-keypoint heatmap logit grid.
+    14x14 RoI features, ConvTranspose 4x4 stride 2 to 28x28, then fixed
+    bilinear 2x upsample to a (56, 56, K) per-keypoint heatmap logit grid.
 
     Input (N, P, P, C) -> logits (N, 2*P*up_scale, 2*P*up_scale, K)."""
 
@@ -96,12 +115,10 @@ class KeypointHead(nn.Module):
         x = nn.ConvTranspose(self.num_keypoints, (4, 4), strides=(2, 2),
                              padding="SAME", dtype=self.dtype,
                              name="score_lowres")(x)
-        if self.up_scale > 1:
-            n, h, w, k = x.shape
-            x = jax.image.resize(
-                x.astype(jnp.float32),
-                (n, h * self.up_scale, w * self.up_scale, k), "bilinear")
-        return x.astype(jnp.float32)
+        x = x.astype(jnp.float32)
+        for _ in range(self.up_scale // 2):
+            x = bilinear_upsample_x2(x)
+        return x
 
 
 # ---------------------------------------------------------------------------
