@@ -17,6 +17,31 @@ import os
 _DONE = False
 
 
+def _host_fingerprint() -> str:
+    """Cache-key suffix tied to the host microarchitecture.
+
+    XLA:CPU AOT executables embed the compile machine's feature set and
+    ABORT (SIGABRT, not a graceful miss) when loaded on a host missing a
+    feature — a persistent cache carried across machines (shared home
+    dir, container reschedule) would poison every CPU-platform run. Keying
+    the cache dir by (machine, cpu flags) makes foreign entries unfindable
+    instead of fatal.
+    """
+    import hashlib
+    import platform
+
+    txt = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    txt += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(txt.encode()).hexdigest()[:12]
+
+
 def setup(cache_dir: str | None = None) -> None:
     """Idempotent process-level setup. Call before building engines."""
     global _DONE
@@ -26,6 +51,7 @@ def setup(cache_dir: str | None = None) -> None:
 
     cache = cache_dir or os.environ.get(
         "VOSDETECTRON_CACHE", os.path.expanduser("~/.cache/vosdetectron_xla"))
+    cache = os.path.join(cache, _host_fingerprint())
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
