@@ -25,4 +25,12 @@ def test_zoo_covers_architectures():
     assert any("R-50-C4" in n for n in names)
     assert any("R-50-FPN" in n for n in names)
     assert any("R-101" in n for n in names)
+    assert any("X-101" in n for n in names)  # ResNeXt baseline
     assert any(n.startswith("vos_") for n in names)
+
+
+def test_resnext_config_builds_grouped_trunk():
+    cfg = load_config(os.path.join(
+        REPO, "configs", "baselines", "e2e_mask_rcnn_X-101-32x4d-FPN_1x.yaml"))
+    assert cfg.resnets.num_groups == 32
+    assert cfg.resnets.width_per_group == 4

@@ -50,6 +50,73 @@ def test_forward_shapes(body):
         assert bx.min() >= 0 and bx[:, 2].max() <= pw and bx[:, 3].max() <= ph
 
 
+def test_forward_shapes_resnext():
+    """ResNeXt trunk (resnets.num_groups/width_per_group — reference:
+    cfg.RESNETS.NUM_GROUPS, lib/modeling/ResNet.py bottleneck_transformation
+    group conv): grouped 3x3 kernels and a working detect path."""
+    cfg = tiny_cfg("fpn_resnet50",
+                   **{"resnets.num_groups": 8, "resnets.width_per_group": 8})
+    det = Detector(cfg, rng=0)
+    # stage-2 inner width = num_groups * width_per_group = 64; grouped 3x3
+    # kernel has in-dim inner/groups = 8.
+    k = det.params["body"]["res2"]["block0"]["conv2"]["kernel"]
+    assert k.shape == (3, 3, 8, 64), k.shape
+    # stage-5 inner doubles per stage: 64 -> 128 -> 256 -> 512
+    k5 = det.params["body"]["res5"]["block0"]["conv2"]["kernel"]
+    assert k5.shape == (3, 3, 64, 512), k5.shape
+    ph, pw = cfg.test.padded_image_size
+    img = jnp.asarray(np.random.RandomState(0)
+                      .randn(1, ph, pw, 3).astype(np.float32))
+    hw = jnp.asarray([[ph, pw]], jnp.float32)
+    out = det.detect(img, hw)
+    assert out.boxes.shape == (1, cfg.test.detections_per_im, 4)
+    v = np.asarray(out.valid[0])
+    assert np.isfinite(np.asarray(out.boxes[0])[v]).all()
+
+
+def test_forward_shapes_resnext_c4():
+    """C4 ResNeXt: the Res5RoIHead must use the grouped transform too."""
+    cfg = tiny_cfg("resnet50_c4",
+                   **{"resnets.num_groups": 8, "resnets.width_per_group": 8})
+    det = Detector(cfg, rng=0)
+    k5 = det.params["box_head"]["res5"]["block0"]["conv2"]["kernel"]
+    assert k5.shape == (3, 3, 64, 512), k5.shape
+    ph, pw = cfg.test.padded_image_size
+    img = jnp.asarray(np.random.RandomState(1)
+                      .randn(1, ph, pw, 3).astype(np.float32))
+    hw = jnp.asarray([[ph, pw]], jnp.float32)
+    out = det.detect(img, hw)
+    assert out.boxes.shape == (1, cfg.test.detections_per_im, 4)
+
+
+def test_forward_shapes_gn():
+    """Full GroupNorm stack (reference gn_baselines: RESNETS.USE_GN +
+    FPN.USE_GN + roi_xconv1fc_gn_head + mask_rcnn_fcn_head_v1up4convs_gn):
+    GN params appear where expected and the detect path runs."""
+    cfg = tiny_cfg("fpn_resnet50", **{
+        "resnets.use_gn": True, "fpn.use_gn": True,
+        "fast_rcnn.roi_box_head": "roi_xconv1fc_gn_head",
+        "mrcnn.roi_mask_head": "mask_rcnn_fcn_head_v1up4convs_gn"})
+    det = Detector(cfg, rng=0)
+    p = det.params
+    # trunk norms are GroupNorm now (same scale/bias names as AffineChannel)
+    assert "scale" in p["body"]["res2"]["block0"]["bn1"]
+    assert "lateral_gn_c2" in p["fpn"] and "output_gn_p2" in p["fpn"]
+    assert "conv1" in p["box_head"] and "gn1" in p["box_head"]
+    assert "fc2" not in p["box_head"]  # xconv1fc head: one FC only
+    assert "gn1" in p["mask_head"]
+    assert "bias" not in p["mask_head"]["fcn1"]  # conv bias dropped with GN
+    ph, pw = cfg.test.padded_image_size
+    img = jnp.asarray(np.random.RandomState(2)
+                      .randn(1, ph, pw, 3).astype(np.float32))
+    hw = jnp.asarray([[ph, pw]], jnp.float32)
+    out = det.detect(img, hw)
+    assert out.boxes.shape == (1, cfg.test.detections_per_im, 4)
+    v = np.asarray(out.valid[0])
+    assert np.isfinite(np.asarray(out.boxes[0])[v]).all()
+    assert np.isfinite(np.asarray(out.masks[0])[v]).all()
+
+
 def test_forward_batched_consistent():
     """Batch of identical frames must give identical detections."""
     cfg = tiny_cfg()

@@ -474,6 +474,31 @@ def test_coverage_report_flags_drifted_pkl_blob(rng):
     assert rep["unfilled_params"] == [], rep["unfilled_params"]
 
 
+def test_grouped_conv_import_matches_torch(rng):
+    """ResNeXt grouped 3x3: torch Conv2d(groups=g) weight (O, I/g, k, k)
+    through _t_conv -> flax Conv(feature_group_count=g) must match torch
+    numerically (reference: RESNETS.NUM_GROUPS group conv in
+    lib/modeling/ResNet.py)."""
+    torch = pytest.importorskip("torch")
+    import flax.linen as nn
+    import jax
+
+    g, cin, cout = 8, 32, 64
+    x = rng.randn(2, 6, 6, cin).astype(np.float32)
+    w = rng.randn(cout, cin // g, 3, 3).astype(np.float32)
+    t = torch.nn.Conv2d(cin, cout, 3, padding=1, groups=g, bias=False)
+    with torch.no_grad():
+        t.weight.copy_(torch.from_numpy(w))
+        yt = t(torch.from_numpy(x.transpose(0, 3, 1, 2))
+               ).numpy().transpose(0, 2, 3, 1)
+    m = nn.Conv(cout, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                feature_group_count=g)
+    with jax.default_matmul_precision("float32"):
+        yj = m.apply({"params": {"kernel": jnp.asarray(Z._t_conv(w))}},
+                     jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(yj), yt, atol=1e-4)
+
+
 def test_deconv_import_matches_torch(rng):
     """_t_deconv must spatially flip: flax ConvTranspose does not mirror
     the kernel while torch's transposed conv does. Covers both deconv

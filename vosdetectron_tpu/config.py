@@ -59,13 +59,27 @@ class ResNetsCfg:
     """Reference: cfg.RESNETS."""
 
     depth: int = 50
+    # ResNeXt (reference: RESNETS.NUM_GROUPS / WIDTH_PER_GROUP; 32x4d ->
+    # num_groups=32, width_per_group=4).
     num_groups: int = 1
     width_per_group: int = 64
     stem_width: int = 64
     freeze_at: int = 2  # freeze stem + res2 during fine-tune
-    # Frozen BatchNorm everywhere (AffineChannel2d in the reference —
+    # Default norm is frozen BatchNorm (AffineChannel2d in the reference —
     # lib/nn/modules/affine.py): scale/bias folded, no batch stats.
+    # use_gn swaps every trunk norm for GroupNorm (reference:
+    # RESNETS.USE_GN, lib/nn/modules/normalization.py + gn_baselines/).
+    use_gn: bool = False
     res5_dilation: int = 1
+
+
+@dataclass(frozen=True)
+class GroupNormCfg:
+    """Reference: cfg.GROUP_NORM (lib/core/config.py; Detectron GN paper
+    defaults — 32 groups, eps 1e-5)."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
 
 
 @dataclass(frozen=True)
@@ -83,6 +97,8 @@ class FPNCfg:
     # FPN level assignment k = floor(k0 + log2(sqrt(wh)/224))
     roi_canonical_scale: int = 224
     roi_canonical_level: int = 4
+    # GroupNorm on lateral + output convs (reference: FPN.USE_GN).
+    use_gn: bool = False
 
 
 @dataclass(frozen=True)
@@ -116,8 +132,16 @@ class RPNCfg:
 class FastRCNNCfg:
     """Reference: cfg.FAST_RCNN."""
 
-    roi_box_head: str = "roi_2mlp_head"  # FPN default; "roi_conv5_head" for C4
+    # FPN box-head builder (reference: FAST_RCNN.ROI_BOX_HEAD):
+    #   roi_2mlp_head        — two FC (default)
+    #   roi_xconv1fc_head    — X conv3x3 + one FC
+    #   roi_xconv1fc_gn_head — X conv3x3 with GroupNorm + one FC
+    # C4 models always use the res5 head (roi_conv5_head).
+    roi_box_head: str = "roi_2mlp_head"
     mlp_head_dim: int = 1024
+    # Conv-head geometry (reference: FAST_RCNN.NUM_STACKED_CONVS/CONV_HEAD_DIM).
+    num_stacked_convs: int = 4
+    conv_head_dim: int = 256
     roi_xform_method: str = "roi_align"  # roi_align | roi_pool
     roi_xform_resolution: int = 7
     roi_xform_sampling_ratio: int = 2
@@ -137,6 +161,9 @@ class FastRCNNCfg:
 class MRCNNCfg:
     """Reference: cfg.MRCNN."""
 
+    # "mask_rcnn_fcn_head_v1up4convs" or the GN variant
+    # "mask_rcnn_fcn_head_v1up4convs_gn" (reference: MRCNN.ROI_MASK_HEAD,
+    # lib/modeling/mask_rcnn_heads.py::mask_rcnn_fcn_head_v1upXconvs_gn).
     roi_mask_head: str = "mask_rcnn_fcn_head_v1up4convs"
     resolution: int = 28
     roi_xform_resolution: int = 14
@@ -337,6 +364,7 @@ class Config:
     fast_rcnn: FastRCNNCfg = field(default_factory=FastRCNNCfg)
     mrcnn: MRCNNCfg = field(default_factory=MRCNNCfg)
     krcnn: KRCNNCfg = field(default_factory=KRCNNCfg)
+    group_norm: GroupNormCfg = field(default_factory=GroupNormCfg)
     train: TrainCfg = field(default_factory=TrainCfg)
     test: TestCfg = field(default_factory=TestCfg)
     solver: SolverCfg = field(default_factory=SolverCfg)
@@ -361,6 +389,24 @@ class Config:
         if self.model.conv_body not in ("resnet50_c4", "fpn_resnet50",
                                         "resnet101_c4", "fpn_resnet101"):
             raise ValueError(f"unknown conv_body {self.model.conv_body!r}")
+        if self.fast_rcnn.roi_box_head not in (
+                "roi_2mlp_head", "roi_xconv1fc_head", "roi_xconv1fc_gn_head",
+                "roi_conv5_head"):
+            raise ValueError(
+                f"unknown roi_box_head {self.fast_rcnn.roi_box_head!r}")
+        if self.mrcnn.roi_mask_head not in (
+                "mask_rcnn_fcn_head_v1up4convs",
+                "mask_rcnn_fcn_head_v1up4convs_gn"):
+            raise ValueError(
+                f"unknown roi_mask_head {self.mrcnn.roi_mask_head!r}")
+        if self.resnets.use_gn:
+            g = self.group_norm.num_groups
+            widths = [self.resnets.stem_width,
+                      self.resnets.num_groups * self.resnets.width_per_group]
+            if any(w % g for w in widths):
+                raise ValueError(
+                    f"resnets.use_gn: channel widths {widths} must be "
+                    f"divisible by group_norm.num_groups={g}")
         if self.fpn.enabled and "fpn" not in self.model.conv_body:
             raise ValueError("fpn.enabled=True requires an FPN conv body")
         if self.vos.upload_format not in ("yuv420", "u8"):

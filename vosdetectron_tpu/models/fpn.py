@@ -33,6 +33,10 @@ class FPN(nn.Module):
     dim: int = 256
     min_level: int = 2
     max_level: int = 6  # 6 adds the max-pool P6 (RPN-only level)
+    # GroupNorm after lateral + output convs (reference: FPN.USE_GN,
+    # gn_baselines/; convs lose their bias when normed).
+    use_gn: bool = False
+    gn_groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -40,11 +44,17 @@ class FPN(nn.Module):
         assert len(feats) == 4, "expected (C2, C3, C4, C5)"
         c2, c3, c4, c5 = feats
 
+        def norm(x, name):
+            if not self.use_gn:
+                return x
+            return nn.GroupNorm(num_groups=self.gn_groups, epsilon=1e-5,
+                                name=name)(x)
+
         laterals = []
         for i, c in enumerate((c2, c3, c4, c5)):
-            laterals.append(
-                nn.Conv(self.dim, (1, 1), dtype=self.dtype,
-                        name=f"lateral_c{i + 2}")(c))
+            lat = nn.Conv(self.dim, (1, 1), use_bias=not self.use_gn,
+                          dtype=self.dtype, name=f"lateral_c{i + 2}")(c)
+            laterals.append(norm(lat, f"lateral_gn_c{i + 2}"))
 
         # Top-down pathway.
         tds = [laterals[3]]
@@ -53,8 +63,10 @@ class FPN(nn.Module):
 
         ps = []
         for i, td in enumerate(tds):
-            ps.append(nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
-                              dtype=self.dtype, name=f"output_p{i + 2}")(td))
+            p = nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
+                        use_bias=not self.use_gn,
+                        dtype=self.dtype, name=f"output_p{i + 2}")(td)
+            ps.append(norm(p, f"output_gn_p{i + 2}"))
 
         if self.max_level >= 6:
             # Detectron FPN: P6 is stride-2 subsampling of P5.

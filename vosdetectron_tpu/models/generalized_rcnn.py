@@ -29,7 +29,8 @@ from ..config import Config
 from ..ops.anchors import fpn_anchors, generate_cell_anchors, shifted_anchors
 from ..ops.roi_align import roi_align, roi_align_pyramid
 from .fpn import FPN
-from .heads import BoxMLPHead, BoxOutputs, KeypointHead, MaskHead
+from .heads import (BoxMLPHead, BoxOutputs, BoxXConv1FCHead, KeypointHead,
+                    MaskHead)
 from .resnet import Res5RoIHead, ResNetBody
 from .rpn import (Proposals, RPNHead, fpn_proposals,
                   single_scale_proposals)
@@ -73,19 +74,30 @@ class GeneralizedRCNN(nn.Module):
         dt = _dtype(cfg)
         depth = 101 if "101" in cfg.model.conv_body else 50
         self.is_fpn = cfg.fpn.enabled
+        gn_g = cfg.group_norm.num_groups
+        rx = dict(num_groups=cfg.resnets.num_groups,
+                  width_per_group=cfg.resnets.width_per_group,
+                  norm="gn" if cfg.resnets.use_gn else "affine",
+                  gn_groups=gn_g)
         if self.is_fpn:
             self.body = ResNetBody(depth=depth, stages_out=(2, 3, 4, 5),
-                                   freeze_at=cfg.resnets.freeze_at, dtype=dt,
+                                   freeze_at=cfg.resnets.freeze_at,
+                                   stem_width=cfg.resnets.stem_width,
+                                   res5_dilation=cfg.resnets.res5_dilation,
+                                   **rx, dtype=dt,
                                    name="body")
             self.neck = FPN(dim=cfg.fpn.dim, min_level=cfg.fpn.min_level,
-                            max_level=cfg.fpn.max_level, dtype=dt,
+                            max_level=cfg.fpn.max_level,
+                            use_gn=cfg.fpn.use_gn, gn_groups=gn_g, dtype=dt,
                             name="fpn")
             num_anchors = len(cfg.rpn.aspect_ratios)  # 1 size per level
             rpn_dim = cfg.fpn.dim
             box_in_res = cfg.fast_rcnn.roi_xform_resolution
         else:
             self.body = ResNetBody(depth=depth, stages_out=(4,),
-                                   freeze_at=cfg.resnets.freeze_at, dtype=dt,
+                                   freeze_at=cfg.resnets.freeze_at,
+                                   stem_width=cfg.resnets.stem_width,
+                                   **rx, dtype=dt,
                                    name="body")
             num_anchors = len(cfg.rpn.aspect_ratios) * len(cfg.rpn.sizes)
             rpn_dim = 1024
@@ -93,19 +105,31 @@ class GeneralizedRCNN(nn.Module):
         self.rpn_head = RPNHead(dim=rpn_dim, num_anchors=num_anchors,
                                 dtype=dt, name="rpn")
         if self.is_fpn:
-            self.box_head = BoxMLPHead(dim=cfg.fast_rcnn.mlp_head_dim,
-                                       dtype=dt, name="box_head")
+            bh = cfg.fast_rcnn.roi_box_head
+            if bh in ("roi_xconv1fc_head", "roi_xconv1fc_gn_head"):
+                self.box_head = BoxXConv1FCHead(
+                    dim=cfg.fast_rcnn.mlp_head_dim,
+                    conv_dim=cfg.fast_rcnn.conv_head_dim,
+                    num_convs=cfg.fast_rcnn.num_stacked_convs,
+                    use_gn=bh.endswith("_gn_head"), gn_groups=gn_g,
+                    dtype=dt, name="box_head")
+            else:
+                self.box_head = BoxMLPHead(dim=cfg.fast_rcnn.mlp_head_dim,
+                                           dtype=dt, name="box_head")
         else:
-            self.box_head = Res5RoIHead(depth=depth, dtype=dt,
+            self.box_head = Res5RoIHead(depth=depth, **rx, dtype=dt,
                                         name="box_head")
         self.box_outs = BoxOutputs(num_classes=cfg.model.num_classes,
                                    cls_agnostic=cfg.model.cls_agnostic_bbox_reg,
                                    dtype=dt, name="box_outs")
         if cfg.model.mask_on:
-            self.mask_head = MaskHead(num_classes=cfg.model.num_classes,
-                                      dim=cfg.mrcnn.dim_reduced,
-                                      num_convs=cfg.mrcnn.conv_layers,
-                                      dtype=dt, name="mask_head")
+            self.mask_head = MaskHead(
+                num_classes=cfg.model.num_classes,
+                dim=cfg.mrcnn.dim_reduced,
+                num_convs=cfg.mrcnn.conv_layers,
+                use_gn=cfg.mrcnn.roi_mask_head.endswith("_gn"),
+                gn_groups=gn_g,
+                dtype=dt, name="mask_head")
         if cfg.model.keypoint_on:
             self.keypoint_head = KeypointHead(
                 num_keypoints=cfg.krcnn.num_keypoints, dim=cfg.krcnn.dim,

@@ -33,6 +33,33 @@ class BoxMLPHead(nn.Module):
         return x
 
 
+class BoxXConv1FCHead(nn.Module):
+    """X conv3x3 (+ optional GroupNorm) then one FC head on pooled
+    features (reference: fast_rcnn_heads.py::roi_Xconv1fc_head /
+    roi_Xconv1fc_gn_head, selected by FAST_RCNN.ROI_BOX_HEAD in the
+    gn_baselines configs)."""
+
+    dim: int = 1024
+    conv_dim: int = 256
+    num_convs: int = 4
+    use_gn: bool = False
+    gn_groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (N, P, P, C)
+        for i in range(self.num_convs):
+            x = nn.Conv(self.conv_dim, (3, 3), padding=[(1, 1), (1, 1)],
+                        use_bias=not self.use_gn, dtype=self.dtype,
+                        name=f"conv{i + 1}")(x)
+            if self.use_gn:
+                x = nn.GroupNorm(num_groups=self.gn_groups, epsilon=1e-5,
+                                 name=f"gn{i + 1}")(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        return nn.relu(nn.Dense(self.dim, dtype=self.dtype, name="fc1")(x))
+
+
 class BoxOutputs(nn.Module):
     """Class scores + per-class box deltas (reference: fast_rcnn_outputs)."""
 
@@ -57,13 +84,21 @@ class MaskHead(nn.Module):
     num_classes: int
     dim: int = 256
     num_convs: int = 4
+    # GroupNorm variant (reference: mask_rcnn_fcn_head_v1upXconvs_gn).
+    use_gn: bool = False
+    gn_groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_convs):
-            x = nn.relu(nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
-                                dtype=self.dtype, name=f"fcn{i + 1}")(x))
+            x = nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
+                        use_bias=not self.use_gn,
+                        dtype=self.dtype, name=f"fcn{i + 1}")(x)
+            if self.use_gn:
+                x = nn.GroupNorm(num_groups=self.gn_groups, epsilon=1e-5,
+                                 name=f"gn{i + 1}")(x)
+            x = nn.relu(x)
         x = nn.relu(nn.ConvTranspose(self.dim, (2, 2), strides=(2, 2),
                                      dtype=self.dtype, name="upconv")(x))
         return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,

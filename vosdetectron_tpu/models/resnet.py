@@ -53,40 +53,64 @@ class AffineChannel(nn.Module):
         return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
+def _make_norm(norm: str, features: int, zero_init: bool, name: str,
+               gn_groups: int = 32):
+    """Trunk norm factory: "affine" = frozen BN (Detectron default),
+    "gn" = GroupNorm (reference: RESNETS.USE_GN swaps AffineChannel2d for
+    lib/nn/modules/normalization.py::GroupNorm). Param names (scale/bias)
+    and shapes are identical for both, so checkpoints stay structurally
+    compatible."""
+    if norm == "gn":
+        scale_init = nn.initializers.zeros if zero_init \
+            else nn.initializers.ones
+        return nn.GroupNorm(num_groups=gn_groups, epsilon=1e-5,
+                            scale_init=scale_init, name=name)
+    return AffineChannel(features, zero_init=zero_init, name=name)
+
+
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3 -> 1x1 bottleneck with frozen-BN affines."""
+    """1x1 -> 3x3 -> 1x1 bottleneck with frozen-BN affines.
+
+    groups > 1 gives the ResNeXt transform (reference:
+    lib/modeling/ResNet.py::bottleneck_transformation with
+    cfg.RESNETS.NUM_GROUPS; grouped conv == feature_group_count here,
+    which XLA lowers to a blocked MXU matmul)."""
 
     inner: int
     out: int
     stride: int = 1
     stride_1x1: bool = True  # Caffe/Detectron style
     dilation: int = 1
+    groups: int = 1
+    norm: str = "affine"
+    gn_groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         s1 = self.stride if self.stride_1x1 else 1
         s3 = 1 if self.stride_1x1 else self.stride
+        mk = lambda feat, zero, name: _make_norm(  # noqa: E731
+            self.norm, feat, zero, name, self.gn_groups)
         shortcut = x
         if x.shape[-1] != self.out or self.stride != 1:
             shortcut = nn.Conv(self.out, (1, 1), strides=(self.stride,) * 2,
                                use_bias=False, dtype=self.dtype,
                                name="shortcut_conv")(x)
-            shortcut = AffineChannel(self.out, name="shortcut_bn")(shortcut)
+            shortcut = mk(self.out, False, "shortcut_bn")(shortcut)
 
         y = nn.Conv(self.inner, (1, 1), strides=(s1,) * 2, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        y = AffineChannel(self.inner, name="bn1")(y)
-        y = nn.relu(y)
+        y = nn.relu(mk(self.inner, False, "bn1")(y))
         y = nn.Conv(self.inner, (3, 3), strides=(s3,) * 2,
                     kernel_dilation=(self.dilation,) * 2,
                     padding=[(self.dilation,) * 2] * 2, use_bias=False,
+                    feature_group_count=self.groups,
                     dtype=self.dtype, name="conv2")(y)
-        y = AffineChannel(self.inner, name="bn2")(y)
-        y = nn.relu(y)
+        y = nn.relu(mk(self.inner, False, "bn2")(y))
         y = nn.Conv(self.out, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv3")(y)
-        y = AffineChannel(self.out, zero_init=True, name="bn3")(y)
+        y = mk(self.out, True, "bn3")(y)
         return nn.relu(y + shortcut)
 
 
@@ -94,6 +118,8 @@ class Stem(nn.Module):
     """7x7/2 conv + frozen BN + 3x3/2 maxpool (res1)."""
 
     width: int = 64
+    norm: str = "affine"
+    gn_groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -101,7 +127,8 @@ class Stem(nn.Module):
         x = nn.Conv(self.width, (7, 7), strides=(2, 2),
                     padding=[(3, 3), (3, 3)], use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        x = AffineChannel(self.width, name="bn1")(x)
+        x = _make_norm(self.norm, self.width, False, "bn1",
+                       self.gn_groups)(x)
         x = nn.relu(x)
         # Caffe ceil-mode 3x3/2 maxpool == pad (0,1)x(0,1) then VALID-ish;
         # use SAME-style padding (1,1) which matches for even inputs.
@@ -116,6 +143,9 @@ class ResNetStage(nn.Module):
     stride: int
     stride_1x1: bool = True
     dilation: int = 1
+    groups: int = 1
+    norm: str = "affine"
+    gn_groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -124,7 +154,9 @@ class ResNetStage(nn.Module):
             x = Bottleneck(self.inner, self.out,
                            stride=self.stride if i == 0 else 1,
                            stride_1x1=self.stride_1x1,
-                           dilation=self.dilation, dtype=self.dtype,
+                           dilation=self.dilation, groups=self.groups,
+                           norm=self.norm, gn_groups=self.gn_groups,
+                           dtype=self.dtype,
                            name=f"block{i}")(x)
         return x
 
@@ -141,17 +173,27 @@ class ResNetBody(nn.Module):
     freeze_at: int = 2
     stride_1x1: bool = True
     res5_dilation: int = 1
+    # ResNeXt (reference: cfg.RESNETS.NUM_GROUPS / WIDTH_PER_GROUP, e.g.
+    # 32x4d -> num_groups=32, width_per_group=4). Defaults reproduce plain
+    # ResNet exactly (stage-2 inner = 1 * 64 = 64), so existing checkpoints
+    # keep their param tree.
+    num_groups: int = 1
+    width_per_group: int = 64
+    stem_width: int = 64
+    norm: str = "affine"  # "affine" (frozen BN) | "gn" (RESNETS.USE_GN)
+    gn_groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         blocks = STAGE_BLOCKS[self.depth]
         max_stage = max(self.stages_out)
-        x = Stem(dtype=self.dtype, name="stem")(x)
+        x = Stem(width=self.stem_width, norm=self.norm,
+                 gn_groups=self.gn_groups, dtype=self.dtype, name="stem")(x)
         if self.freeze_at >= 1:
             x = jax.lax.stop_gradient(x)
         outs = []
-        inner, out = 64, 256
+        inner, out = self.num_groups * self.width_per_group, 256
         for stage in range(2, max_stage + 1):
             stride = 1 if stage == 2 else 2
             dilation = self.res5_dilation if stage == 5 else 1
@@ -159,6 +201,8 @@ class ResNetBody(nn.Module):
                 stride = 1
             x = ResNetStage(blocks[stage - 2], inner, out, stride,
                             stride_1x1=self.stride_1x1, dilation=dilation,
+                            groups=self.num_groups, norm=self.norm,
+                            gn_groups=self.gn_groups,
                             dtype=self.dtype, name=f"res{stage}")(x)
             if self.freeze_at >= stage:
                 x = jax.lax.stop_gradient(x)
@@ -177,11 +221,18 @@ class Res5RoIHead(nn.Module):
 
     depth: int = 50
     stride_1x1: bool = True
+    num_groups: int = 1
+    width_per_group: int = 64
+    norm: str = "affine"
+    gn_groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = ResNetStage(STAGE_BLOCKS[self.depth][3], 512, 2048, 2,
-                        stride_1x1=self.stride_1x1, dtype=self.dtype,
+        inner = self.num_groups * self.width_per_group * 8
+        x = ResNetStage(STAGE_BLOCKS[self.depth][3], inner, 2048, 2,
+                        stride_1x1=self.stride_1x1,
+                        groups=self.num_groups, norm=self.norm,
+                        gn_groups=self.gn_groups, dtype=self.dtype,
                         name="res5")(x)
         return x.mean(axis=(1, 2))
