@@ -147,7 +147,12 @@ def main():
     min_laps = 3
     stream = [(lap, i) for lap in range(laps) for i in range(len(seqs))]
 
-    prefetch_pool = ThreadPoolExecutor(max_workers=2)
+    # Prefetch depth = how many SEQUENCES' uploads are in flight while one
+    # scans: each queued sequence is ~64 frames * 600 KiB of upload that a
+    # tunnel stall can drain into instead of dead time. 3 rides out longer
+    # stalls than 2 at the cost of host RAM (~115 MB/sequence).
+    depth = int(os.environ.get("BENCH_PREFETCH_DEPTH", "3"))
+    prefetch_pool = ThreadPoolExecutor(max_workers=depth)
     write_pool = ThreadPoolExecutor(max_workers=2)
 
     def prefetch(k):
@@ -155,7 +160,6 @@ def main():
         g0 = read_indexed_png(seqs[i].anno_paths[0])
         return eng.prepare_sequence_from_files(seqs[i].frame_paths, g0)
 
-    depth = 2
     futures = {k: prefetch_pool.submit(prefetch, k)
                for k in range(min(depth, len(stream)))}
     lap_frames = {}

@@ -120,6 +120,65 @@ def test_mask_targets_crop():
 
 
 @pytest.mark.slow
+def test_lr_schedule_policies():
+    """SOLVER.LR_POLICY / WARM_UP_METHOD (reference: lib/utils/net.py
+    update_learning_rate): steps_with_decay boundaries, cosine_decay,
+    constant warmup."""
+    from vosdetectron_tpu.engine.train import lr_schedule
+
+    cfg = apply_overrides(Config(), [
+        ("solver.base_lr", 0.02), ("solver.warm_up_iters", 100),
+        ("solver.warm_up_factor", 0.25),
+        ("solver.steps", (0, 1000, 2000)), ("solver.max_iter", 3000),
+    ]).validate()
+    f = lr_schedule(cfg)
+    assert np.isclose(float(f(0)), 0.02 * 0.25)
+    assert np.isclose(float(f(100)), 0.02)
+    assert np.isclose(float(f(1500)), 0.002)
+    assert np.isclose(float(f(2500)), 0.0002)
+
+    c = apply_overrides(cfg, [("solver.lr_policy", "cosine_decay"),
+                              ("solver.warm_up_method", "constant")])
+    g = lr_schedule(c)
+    # constant warmup factor, cosine decay active from step 0
+    exp50 = 0.02 * 0.25 * 0.5 * (1 + np.cos(np.pi * 50 / 3000))
+    assert np.isclose(float(g(50)), exp50, rtol=1e-4)
+    assert np.isclose(float(g(1500)), 0.01)        # cos(pi/2) midpoint
+    assert float(g(3000)) < 1e-8                   # decayed to ~0
+
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, [("solver.lr_policy", "nope")]).validate()
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, [("solver.warm_up_method", "nope")]).validate()
+
+
+def test_freeze_conv_body():
+    """TRAIN.FREEZE_CONV_BODY: body+fpn params bit-identical after steps
+    while head params move."""
+    from vosdetectron_tpu.engine.train import Trainer
+
+    cfg = apply_overrides(small_cfg(), [("train.freeze_conv_body", True)])
+    trainer = Trainer(cfg, rng=0)
+    before = jax.device_get(trainer.state.params)
+    ph, pw = cfg.train.padded_image_size
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(1, ph, pw, 3).astype(np.float32))
+    im_hw = jnp.asarray([[ph, pw]], jnp.float32)
+    gt = make_gt(cfg, b=1)
+    for i in range(2):
+        trainer.train_step(jax.random.PRNGKey(i), images, im_hw, gt)
+    after = jax.device_get(trainer.state.params)
+    for sub in ("body", "fpn"):
+        b, a = before[sub], after[sub]
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_array_equal(x, y), b, a)
+    moved = jax.tree_util.tree_reduce(
+        lambda acc, d: acc + float(d),
+        jax.tree_util.tree_map(lambda x, y: np.abs(x - y).sum(),
+                               before["box_outs"], after["box_outs"]), 0.0)
+    assert moved > 0.0
+
+
 def test_train_step_runs_and_descends():
     from vosdetectron_tpu.engine.train import Trainer
     from vosdetectron_tpu.parallel.mesh import make_mesh, shard_batch

@@ -399,6 +399,11 @@ class Config:
                 "mask_rcnn_fcn_head_v1up4convs_gn"):
             raise ValueError(
                 f"unknown roi_mask_head {self.mrcnn.roi_mask_head!r}")
+        if self.solver.lr_policy not in ("steps_with_decay", "cosine_decay"):
+            raise ValueError(f"unknown lr_policy {self.solver.lr_policy!r}")
+        if self.solver.warm_up_method not in ("linear", "constant"):
+            raise ValueError(
+                f"unknown warm_up_method {self.solver.warm_up_method!r}")
         if self.resnets.use_gn:
             g = self.group_norm.num_groups
             widths = [self.resnets.stem_width,

@@ -144,8 +144,13 @@ class DetectionLoader:
 
     def __iter__(self):
         cfg = self.cfg
-        q: queue_mod.Queue = queue_mod.Queue(maxsize=cfg.data.prefetch_depth
-                                             * self.batch)
+        # train.double_buffer=False disables read-ahead: one worker, queue
+        # of one — each example is produced only when consumed (useful when
+        # the host is memory- or core-starved; default keeps a
+        # prefetch_depth*batch buffer ahead of the device).
+        depth = cfg.data.prefetch_depth * self.batch \
+            if cfg.train.double_buffer else 1
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
         stream = self._example_stream()
         lock = threading.Lock()
 
@@ -163,7 +168,8 @@ class DetectionLoader:
                 # and a metadata key would then mix shapes in one buffer).
                 q.put((item[0].shape, item))
 
-        for _ in range(self.num_threads):
+        n_workers = self.num_threads if cfg.train.double_buffer else 1
+        for _ in range(n_workers):
             threading.Thread(target=worker, daemon=True).start()
 
         # Aspect-grouped batching (reference: MinibatchSampler): each

@@ -46,15 +46,26 @@ class TrainState(NamedTuple):
 
 
 def lr_schedule(cfg: Config):
+    """Reference: lib/utils/net.py::update_learning_rate +
+    SOLVER.LR_POLICY / WARM_UP_METHOD (lib/core/config.py). Policies:
+    steps_with_decay (gamma^k after each boundary) and cosine_decay;
+    warmup: linear ramp or constant factor over warm_up_iters."""
     s = cfg.solver
 
     def fn(step):
         step = jnp.asarray(step, jnp.float32)
-        warm = s.warm_up_factor + (1.0 - s.warm_up_factor) * \
-            jnp.minimum(step / max(s.warm_up_iters, 1), 1.0)
-        decay = jnp.ones(())
-        for boundary in s.steps[1:]:
-            decay = decay * jnp.where(step >= boundary, s.gamma, 1.0)
+        if s.warm_up_method == "constant":
+            warm = jnp.where(step < s.warm_up_iters, s.warm_up_factor, 1.0)
+        else:  # linear
+            warm = s.warm_up_factor + (1.0 - s.warm_up_factor) * \
+                jnp.minimum(step / max(s.warm_up_iters, 1), 1.0)
+        if s.lr_policy == "cosine_decay":
+            frac = jnp.clip(step / max(s.max_iter, 1), 0.0, 1.0)
+            decay = 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        else:  # steps_with_decay
+            decay = jnp.ones(())
+            for boundary in s.steps[1:]:
+                decay = decay * jnp.where(step >= boundary, s.gamma, 1.0)
         return s.base_lr * warm * decay
 
     return fn
@@ -217,13 +228,29 @@ def compute_losses(model: GeneralizedRCNN, params, key, images, im_hw,
 def make_train_step(model: GeneralizedRCNN, tx, cfg: Config):
     """Returns the jittable SPMD train step (donated state)."""
 
+    # TRAIN.FREEZE_CONV_BODY (reference: lib/modeling/model_builder.py
+    # _init_modules): the whole conv body — FPN included for FPN models —
+    # receives no update. Grads are zeroed BEFORE tx.update (no momentum
+    # accumulation) and updates zeroed after (no weight-decay drift).
+    frozen = ()
+    if cfg.train.freeze_conv_body:
+        frozen = ("body", "fpn") if cfg.fpn.enabled else ("body",)
+
+    def _mask_frozen(tree):
+        return {k: (jax.tree_util.tree_map(jnp.zeros_like, v)
+                    if k in frozen else v) for k, v in tree.items()}
+
     def step_fn(state: TrainState, key, images, im_hw, gt: GroundTruth):
         def loss_fn(params):
             return compute_losses(model, params, key, images, im_hw, gt, cfg)
 
         (total, losses), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if frozen:
+            grads = _mask_frozen(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if frozen:
+            updates = _mask_frozen(updates)
         new_params = optax.apply_updates(state.params, updates)
         losses["total"] = total
         return TrainState(state.step + 1, new_params, new_opt), losses

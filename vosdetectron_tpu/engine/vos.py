@@ -33,7 +33,6 @@ from ..models.propagation import (PropagationHead, TrackState,
                                   propagate_identity, render_indexed,
                                   render_indexed_pallas)
 from ..ops.mask_paste import paste_masks_in_image
-from ..parallel.mesh import DATA_AXIS
 from .inference import postprocess_boxes, select_class_masks
 
 
@@ -377,9 +376,10 @@ class VOSEngine:
         # check_vma=False: the per-device program has no collectives, and
         # the varying-manual-axes inference rejects while_loop carries that
         # start as replicated constants (the NMS fixpoint loop).
+        ax = mesh.axis_names[0]
         fn = jax.shard_map(local_fn, mesh=mesh,
-                           in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
-                           out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                           in_specs=(P(), P(ax), P(ax), P()),
+                           out_specs=(P(ax), P(ax)),
                            check_vma=False)
         return fn(params, states, frames_u8, prop_params)
 

@@ -37,6 +37,7 @@ class FPN(nn.Module):
     # gn_baselines/; convs lose their bias when normed).
     use_gn: bool = False
     gn_groups: int = 32
+    gn_eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -47,7 +48,7 @@ class FPN(nn.Module):
         def norm(x, name):
             if not self.use_gn:
                 return x
-            return nn.GroupNorm(num_groups=self.gn_groups, epsilon=1e-5,
+            return nn.GroupNorm(num_groups=self.gn_groups, epsilon=self.gn_eps,
                                 name=name)(x)
 
         laterals = []

@@ -75,10 +75,11 @@ class GeneralizedRCNN(nn.Module):
         depth = 101 if "101" in cfg.model.conv_body else 50
         self.is_fpn = cfg.fpn.enabled
         gn_g = cfg.group_norm.num_groups
+        gn_e = cfg.group_norm.eps
         rx = dict(num_groups=cfg.resnets.num_groups,
                   width_per_group=cfg.resnets.width_per_group,
                   norm="gn" if cfg.resnets.use_gn else "affine",
-                  gn_groups=gn_g)
+                  gn_groups=gn_g, gn_eps=gn_e)
         if self.is_fpn:
             self.body = ResNetBody(depth=depth, stages_out=(2, 3, 4, 5),
                                    freeze_at=cfg.resnets.freeze_at,
@@ -88,7 +89,8 @@ class GeneralizedRCNN(nn.Module):
                                    name="body")
             self.neck = FPN(dim=cfg.fpn.dim, min_level=cfg.fpn.min_level,
                             max_level=cfg.fpn.max_level,
-                            use_gn=cfg.fpn.use_gn, gn_groups=gn_g, dtype=dt,
+                            use_gn=cfg.fpn.use_gn, gn_groups=gn_g,
+                            gn_eps=gn_e, dtype=dt,
                             name="fpn")
             num_anchors = len(cfg.rpn.aspect_ratios)  # 1 size per level
             rpn_dim = cfg.fpn.dim
@@ -112,7 +114,7 @@ class GeneralizedRCNN(nn.Module):
                     conv_dim=cfg.fast_rcnn.conv_head_dim,
                     num_convs=cfg.fast_rcnn.num_stacked_convs,
                     use_gn=bh.endswith("_gn_head"), gn_groups=gn_g,
-                    dtype=dt, name="box_head")
+                    gn_eps=gn_e, dtype=dt, name="box_head")
             else:
                 self.box_head = BoxMLPHead(dim=cfg.fast_rcnn.mlp_head_dim,
                                            dtype=dt, name="box_head")
@@ -128,7 +130,7 @@ class GeneralizedRCNN(nn.Module):
                 dim=cfg.mrcnn.dim_reduced,
                 num_convs=cfg.mrcnn.conv_layers,
                 use_gn=cfg.mrcnn.roi_mask_head.endswith("_gn"),
-                gn_groups=gn_g,
+                gn_groups=gn_g, gn_eps=gn_e,
                 dtype=dt, name="mask_head")
         if cfg.model.keypoint_on:
             self.keypoint_head = KeypointHead(

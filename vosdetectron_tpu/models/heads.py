@@ -44,6 +44,7 @@ class BoxXConv1FCHead(nn.Module):
     num_convs: int = 4
     use_gn: bool = False
     gn_groups: int = 32
+    gn_eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -53,7 +54,7 @@ class BoxXConv1FCHead(nn.Module):
                         use_bias=not self.use_gn, dtype=self.dtype,
                         name=f"conv{i + 1}")(x)
             if self.use_gn:
-                x = nn.GroupNorm(num_groups=self.gn_groups, epsilon=1e-5,
+                x = nn.GroupNorm(num_groups=self.gn_groups, epsilon=self.gn_eps,
                                  name=f"gn{i + 1}")(x)
             x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
@@ -87,6 +88,7 @@ class MaskHead(nn.Module):
     # GroupNorm variant (reference: mask_rcnn_fcn_head_v1upXconvs_gn).
     use_gn: bool = False
     gn_groups: int = 32
+    gn_eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -96,7 +98,7 @@ class MaskHead(nn.Module):
                         use_bias=not self.use_gn,
                         dtype=self.dtype, name=f"fcn{i + 1}")(x)
             if self.use_gn:
-                x = nn.GroupNorm(num_groups=self.gn_groups, epsilon=1e-5,
+                x = nn.GroupNorm(num_groups=self.gn_groups, epsilon=self.gn_eps,
                                  name=f"gn{i + 1}")(x)
             x = nn.relu(x)
         x = nn.relu(nn.ConvTranspose(self.dim, (2, 2), strides=(2, 2),

@@ -54,7 +54,7 @@ class AffineChannel(nn.Module):
 
 
 def _make_norm(norm: str, features: int, zero_init: bool, name: str,
-               gn_groups: int = 32):
+               gn_groups: int = 32, gn_eps: float = 1e-5):
     """Trunk norm factory: "affine" = frozen BN (Detectron default),
     "gn" = GroupNorm (reference: RESNETS.USE_GN swaps AffineChannel2d for
     lib/nn/modules/normalization.py::GroupNorm). Param names (scale/bias)
@@ -63,7 +63,7 @@ def _make_norm(norm: str, features: int, zero_init: bool, name: str,
     if norm == "gn":
         scale_init = nn.initializers.zeros if zero_init \
             else nn.initializers.ones
-        return nn.GroupNorm(num_groups=gn_groups, epsilon=1e-5,
+        return nn.GroupNorm(num_groups=gn_groups, epsilon=gn_eps,
                             scale_init=scale_init, name=name)
     return AffineChannel(features, zero_init=zero_init, name=name)
 
@@ -84,6 +84,7 @@ class Bottleneck(nn.Module):
     groups: int = 1
     norm: str = "affine"
     gn_groups: int = 32
+    gn_eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -91,7 +92,7 @@ class Bottleneck(nn.Module):
         s1 = self.stride if self.stride_1x1 else 1
         s3 = 1 if self.stride_1x1 else self.stride
         mk = lambda feat, zero, name: _make_norm(  # noqa: E731
-            self.norm, feat, zero, name, self.gn_groups)
+            self.norm, feat, zero, name, self.gn_groups, self.gn_eps)
         shortcut = x
         if x.shape[-1] != self.out or self.stride != 1:
             shortcut = nn.Conv(self.out, (1, 1), strides=(self.stride,) * 2,
@@ -120,6 +121,7 @@ class Stem(nn.Module):
     width: int = 64
     norm: str = "affine"
     gn_groups: int = 32
+    gn_eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -128,7 +130,7 @@ class Stem(nn.Module):
                     padding=[(3, 3), (3, 3)], use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         x = _make_norm(self.norm, self.width, False, "bn1",
-                       self.gn_groups)(x)
+                       self.gn_groups, self.gn_eps)(x)
         x = nn.relu(x)
         # Caffe ceil-mode 3x3/2 maxpool == pad (0,1)x(0,1) then VALID-ish;
         # use SAME-style padding (1,1) which matches for even inputs.
@@ -146,6 +148,7 @@ class ResNetStage(nn.Module):
     groups: int = 1
     norm: str = "affine"
     gn_groups: int = 32
+    gn_eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -156,7 +159,7 @@ class ResNetStage(nn.Module):
                            stride_1x1=self.stride_1x1,
                            dilation=self.dilation, groups=self.groups,
                            norm=self.norm, gn_groups=self.gn_groups,
-                           dtype=self.dtype,
+                           gn_eps=self.gn_eps, dtype=self.dtype,
                            name=f"block{i}")(x)
         return x
 
@@ -182,6 +185,7 @@ class ResNetBody(nn.Module):
     stem_width: int = 64
     norm: str = "affine"  # "affine" (frozen BN) | "gn" (RESNETS.USE_GN)
     gn_groups: int = 32
+    gn_eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -189,7 +193,8 @@ class ResNetBody(nn.Module):
         blocks = STAGE_BLOCKS[self.depth]
         max_stage = max(self.stages_out)
         x = Stem(width=self.stem_width, norm=self.norm,
-                 gn_groups=self.gn_groups, dtype=self.dtype, name="stem")(x)
+                 gn_groups=self.gn_groups, gn_eps=self.gn_eps,
+                 dtype=self.dtype, name="stem")(x)
         if self.freeze_at >= 1:
             x = jax.lax.stop_gradient(x)
         outs = []
@@ -202,7 +207,7 @@ class ResNetBody(nn.Module):
             x = ResNetStage(blocks[stage - 2], inner, out, stride,
                             stride_1x1=self.stride_1x1, dilation=dilation,
                             groups=self.num_groups, norm=self.norm,
-                            gn_groups=self.gn_groups,
+                            gn_groups=self.gn_groups, gn_eps=self.gn_eps,
                             dtype=self.dtype, name=f"res{stage}")(x)
             if self.freeze_at >= stage:
                 x = jax.lax.stop_gradient(x)
@@ -225,6 +230,7 @@ class Res5RoIHead(nn.Module):
     width_per_group: int = 64
     norm: str = "affine"
     gn_groups: int = 32
+    gn_eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -233,6 +239,6 @@ class Res5RoIHead(nn.Module):
         x = ResNetStage(STAGE_BLOCKS[self.depth][3], inner, 2048, 2,
                         stride_1x1=self.stride_1x1,
                         groups=self.num_groups, norm=self.norm,
-                        gn_groups=self.gn_groups, dtype=self.dtype,
-                        name="res5")(x)
+                        gn_groups=self.gn_groups, gn_eps=self.gn_eps,
+                        dtype=self.dtype, name="res5")(x)
         return x.mean(axis=(1, 2))

@@ -34,12 +34,14 @@ def make_mesh(cfg: Optional[Config] = None,
     n = num_devices or (cfg.parallel.num_devices if cfg else -1)
     if n and n > 0:
         devs = devs[:n]
-    return Mesh(np.asarray(devs), (DATA_AXIS,))
+    axis = cfg.parallel.data_axis if cfg else DATA_AXIS
+    return Mesh(np.asarray(devs), (axis,))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading-axis (batch) sharding."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Leading-axis (batch) sharding over the mesh's (sole) data axis —
+    named by cfg.parallel.data_axis at mesh construction."""
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
