@@ -315,11 +315,21 @@ class VOSCfg:
     # 4:2:0 (1.5 B/px), 4 = an extra 2x2 chroma box filter (1.125 B/px,
     # 25% fewer upload bytes). The upload link is the binding constraint
     # on a tunnel-attached host (tools/bench_pipeline.py attributes the
-    # whole gap to the 60 f/s target to upload bandwidth), and detection
-    # is chroma-insensitive enough that den=4 is quality-neutral on the
-    # held-out J&F eval.
+    # whole gap to the 60 f/s target to upload bandwidth). den=4 costs
+    # measurable quality (held-out synthetic full-pipeline J&F 0.721 ->
+    # 0.701), so the parity default stays 2; opt into 4 only on
+    # upload-bound deployments that can absorb the loss.
     chroma_den: int = 2
-    upload_streams: int = 4  # concurrent device_put streams
+    # Concurrent device_put streams. The tunnel's per-stream throughput
+    # saturates well below the link: measured 35/50/54/59 MB/s at
+    # 1/2/4/8 streams on the v5e tunnel, so 8 is the sweet spot.
+    upload_streams: int = 8
+    # Nibble-pack (2 px/byte) the device->host id-map downloads when the
+    # object-id alphabet fits 4 bits (semi-supervised, max first-frame GT
+    # id <= 15 — all of DAVIS). Lossless; halves the download bytes that
+    # otherwise contend with frame uploads for the tunnel (downloads are
+    # starved to ~2.6 MB/s while uploads saturate the link).
+    pack_downloads: bool = True
     # Mask propagation: "identity" (masks persist, baseline) or "learned"
     # (flow-warp + refine head; reference: fork-added propagation module,
     # SURVEY.md §2.2 "Mask propagation / association").

@@ -144,6 +144,23 @@ def _to_yuv420_packed(chunk: np.ndarray, den: int = 2) -> np.ndarray:
     return buf
 
 
+def _pack_ids4(ids: jnp.ndarray) -> jnp.ndarray:
+    """(..., W) uint8 id map with values <= 15, W even -> (..., W/2)
+    nibble-packed uint8 (low nibble = even column). Halves the
+    device->host id-map download, which shares the tunnel with (and is
+    starved by) the frame uploads — measured 2.6 MB/s downstream under
+    saturated upload vs 23 MB/s idle."""
+    return (ids[..., 0::2] | (ids[..., 1::2] << 4)).astype(jnp.uint8)
+
+
+def _unpack_ids4(packed: np.ndarray) -> np.ndarray:
+    """Host-side inverse of _pack_ids4 (numpy, ~0.2 ms/frame at 480p)."""
+    out = np.empty(packed.shape[:-1] + (packed.shape[-1] * 2,), np.uint8)
+    out[..., 0::2] = packed & 0xF
+    out[..., 1::2] = packed >> 4
+    return out
+
+
 class VOSEngine:
     """Runs semi-supervised VOS over DAVIS sequences."""
 
@@ -289,11 +306,14 @@ class VOSEngine:
                     method=PropagationHead.frame_input))(img_lr, feat_lr)
         return det_masks_lr, det_emb, dets.scores, dets.valid, prop_inp
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 7))
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 7, 8))
     def _scan_chunk(self, params, state: TrackState, scale: float,
                     out_hw, frames_u8: jnp.ndarray, prop_params=None,
-                    src_hw=None):
-        """frames_u8: (C, H0, W0, 3) -> (state, idmaps (C,)+out_hw uint8).
+                    src_hw=None, pack: bool = False):
+        """frames_u8: (C, H0, W0, 3) -> (state, idmaps (C,)+out_hw uint8);
+        with pack=True the idmaps come back nibble-packed
+        ((C, oh, ow/2), see _pack_ids4) — only valid when every object id
+        fits 4 bits (semi-supervised, max first-frame GT id <= 15).
 
         Phase A: batched detection (no recurrence). Phase B: lax.scan of
         propagation + association + track update + indexed rendering.
@@ -325,7 +345,10 @@ class VOSEngine:
         xs = (det_masks_lr, det_emb, scores, valid)
         if self.learned_prop:
             xs = xs + (prop_inp,)
-        return jax.lax.scan(step, state, xs)
+        state, ids = jax.lax.scan(step, state, xs)
+        if pack:
+            ids = _pack_ids4(ids)
+        return state, ids
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
     def _scan_chunk_multi(self, params, states: TrackState, scale: float,
@@ -563,6 +586,20 @@ class VOSEngine:
         return PreparedSequence(state, chunk_futs, t, h0, w0, scale,
                                 first_frame_gt)
 
+    def _pack_gate(self, first_frame_gt: Optional[np.ndarray],
+                   out_hw) -> bool:
+        """Nibble-pack the id-map downloads? Only when lossless: the id
+        alphabet is fixed by the first-frame GT (semi-supervised tracks
+        never spawn, models/propagation.py::associate_and_update) and its
+        max id fits 4 bits. Packing happens on the stacked uint8 id maps
+        after the scan, so it composes with either renderer."""
+        cfg = self.cfg
+        return bool(cfg.vos.pack_downloads
+                    and cfg.vos.semi_supervised
+                    and first_frame_gt is not None
+                    and out_hw[1] % 2 == 0
+                    and int(np.max(first_frame_gt)) <= 15)
+
     def run_sequence(self, frames: Optional[np.ndarray],
                      first_frame_gt: Optional[np.ndarray] = None,
                      prepared: Optional[PreparedSequence] = None
@@ -586,14 +623,19 @@ class VOSEngine:
         ph, pw = cfg.test.padded_image_size
         out_hw = (ph // den, pw // den)
 
+        pack = self._pack_gate(p.first_frame_gt, out_hw)
+
+        def download(a):
+            return _unpack_ids4(np.asarray(a)) if pack else np.asarray(a)
+
         state = p.state
         downloads = []
         for fut in p.chunk_futs:
             buf = fut.result()
             state, ids = self._scan_chunk(self.params, state, scale,
                                           out_hw, buf, self.prop_params,
-                                          (h0, w0))
-            downloads.append(self._down_pool.submit(np.asarray, ids))
+                                          (h0, w0), pack)
+            downloads.append(self._down_pool.submit(download, ids))
         idmaps = np.concatenate([f.result() for f in downloads])[:t]
 
         out = []
