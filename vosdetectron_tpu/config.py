@@ -52,6 +52,14 @@ class ModelCfg:
     # flip when importing Caffe2-era weights; record the reference's value
     # in configs/reference_parity.yaml once the mount materializes).
     legacy_plus1: bool = False
+    # Convolution lowering (models/convs.py): "native" = lax.conv ops
+    # (XLA's own MXU lowering — the default), "dots" = every conv expressed
+    # as shifted-slice + dot_general (weather insurance for remote-compile
+    # toolchains whose conv lowering regresses; measured 15x faster than a
+    # broken native lowering on 2026-08-18, ~HBM-bound otherwise). Process-
+    # level: engines apply it before tracing; VOSDETECTRON_CONV_IMPL env
+    # var overrides.
+    conv_impl: str = "native"  # "native" | "dots"
 
 
 @dataclass(frozen=True)
@@ -399,6 +407,8 @@ class Config:
         if self.model.conv_body not in ("resnet50_c4", "fpn_resnet50",
                                         "resnet101_c4", "fpn_resnet101"):
             raise ValueError(f"unknown conv_body {self.model.conv_body!r}")
+        if self.model.conv_impl not in ("native", "dots"):
+            raise ValueError(f"unknown conv_impl {self.model.conv_impl!r}")
         if self.fast_rcnn.roi_box_head not in (
                 "roi_2mlp_head", "roi_xconv1fc_head", "roi_xconv1fc_gn_head",
                 "roi_conv5_head"):

@@ -269,6 +269,9 @@ class Detector:
 
         setup()
         self.cfg = cfg
+        from ..models.convs import set_conv_impl
+
+        set_conv_impl(cfg.model.conv_impl)
         self.model = GeneralizedRCNN(cfg)
         if params is None:
             params = self.init_params(jax.random.PRNGKey(rng))

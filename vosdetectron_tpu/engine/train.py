@@ -268,6 +268,9 @@ class Trainer:
 
         setup()
         self.cfg = cfg
+        from ..models.convs import set_conv_impl
+
+        set_conv_impl(cfg.model.conv_impl)
         self.model = GeneralizedRCNN(cfg)
         self.mesh = mesh
         if params is None:

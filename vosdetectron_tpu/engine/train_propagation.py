@@ -110,6 +110,9 @@ class PropagationTrainer:
         self.cfg = cfg
         self.aux_warp_weight = aux_warp_weight
         self.deform_prob = deform_prob
+        from ..models.convs import set_conv_impl
+
+        set_conv_impl(cfg.model.conv_impl)
         self.model = GeneralizedRCNN(cfg)
         if det_params is None:
             det_params = init_model_params(

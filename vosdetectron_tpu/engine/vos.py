@@ -174,6 +174,9 @@ class VOSEngine:
         setup()
         self.cfg = cfg
         self.chunk = chunk
+        from ..models.convs import set_conv_impl
+
+        set_conv_impl(cfg.model.conv_impl)
         self.model = GeneralizedRCNN(cfg)
         if params is None:
             params = init_model_params(self.model, jax.random.PRNGKey(rng),

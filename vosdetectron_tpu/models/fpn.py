@@ -14,6 +14,7 @@ from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+from .convs import Conv
 
 
 def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
@@ -53,7 +54,7 @@ class FPN(nn.Module):
 
         laterals = []
         for i, c in enumerate((c2, c3, c4, c5)):
-            lat = nn.Conv(self.dim, (1, 1), use_bias=not self.use_gn,
+            lat = Conv(self.dim, (1, 1), use_bias=not self.use_gn,
                           dtype=self.dtype, name=f"lateral_c{i + 2}")(c)
             laterals.append(norm(lat, f"lateral_gn_c{i + 2}"))
 
@@ -64,7 +65,7 @@ class FPN(nn.Module):
 
         ps = []
         for i, td in enumerate(tds):
-            p = nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
+            p = Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
                         use_bias=not self.use_gn,
                         dtype=self.dtype, name=f"output_p{i + 2}")(td)
             ps.append(norm(p, f"output_gn_p{i + 2}"))

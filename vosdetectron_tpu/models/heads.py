@@ -16,6 +16,7 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from .convs import Conv, ConvTranspose
 
 
 class BoxMLPHead(nn.Module):
@@ -50,7 +51,7 @@ class BoxXConv1FCHead(nn.Module):
     @nn.compact
     def __call__(self, x):  # (N, P, P, C)
         for i in range(self.num_convs):
-            x = nn.Conv(self.conv_dim, (3, 3), padding=[(1, 1), (1, 1)],
+            x = Conv(self.conv_dim, (3, 3), padding=[(1, 1), (1, 1)],
                         use_bias=not self.use_gn, dtype=self.dtype,
                         name=f"conv{i + 1}")(x)
             if self.use_gn:
@@ -94,16 +95,16 @@ class MaskHead(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_convs):
-            x = nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
+            x = Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
                         use_bias=not self.use_gn,
                         dtype=self.dtype, name=f"fcn{i + 1}")(x)
             if self.use_gn:
                 x = nn.GroupNorm(num_groups=self.gn_groups, epsilon=self.gn_eps,
                                  name=f"gn{i + 1}")(x)
             x = nn.relu(x)
-        x = nn.relu(nn.ConvTranspose(self.dim, (2, 2), strides=(2, 2),
+        x = nn.relu(ConvTranspose(self.dim, (2, 2), strides=(2, 2),
                                      dtype=self.dtype, name="upconv")(x))
-        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+        return Conv(self.num_classes, (1, 1), dtype=self.dtype,
                        name="mask_logits")(x)
 
 
@@ -113,6 +114,10 @@ def bilinear_upsample_x2(x: jnp.ndarray) -> jnp.ndarray:
     frozen ConvTranspose2d(k=4, s=2, p=1) with the FCN bilinear kernel;
     NOT jax.image.resize, whose border handling differs at the 1-px edge).
     (N, H, W, C) -> (N, 2H, 2W, C)."""
+    from .convs import bilinear_x2_dots, get_conv_impl
+
+    if get_conv_impl() == "dots":
+        return bilinear_x2_dots(x)
     c = x.shape[-1]
     k1 = jnp.asarray([0.25, 0.75, 0.75, 0.25], x.dtype)
     kern = (k1[:, None] * k1[None, :])[:, :, None, None]      # (4, 4, 1, 1)
@@ -143,13 +148,13 @@ class KeypointHead(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_convs):
-            x = nn.relu(nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
+            x = nn.relu(Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
                                 dtype=self.dtype, name=f"conv{i + 1}")(x))
         # Deconv doubles resolution and emits the per-keypoint logits
         # (reference: kps_score_lowres ConvTranspose2d(kernel 4, stride 2,
         # pad 1) straight to NUM_KEYPOINTS channels). Flax "SAME" padding
         # with stride 2 reproduces torch's k4/s2/p1 exact-2x output size.
-        x = nn.ConvTranspose(self.num_keypoints, (4, 4), strides=(2, 2),
+        x = ConvTranspose(self.num_keypoints, (4, 4), strides=(2, 2),
                              padding="SAME", dtype=self.dtype,
                              name="score_lowres")(x)
         x = x.astype(jnp.float32)

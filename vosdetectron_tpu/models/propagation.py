@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
+from .convs import Conv
 
 
 class TrackState(NamedTuple):
@@ -191,14 +192,14 @@ class PropagationHead(nn.Module):
 
     def setup(self):
         zeros = nn.initializers.zeros
-        self.proj = nn.Conv(self.feat_dim, (1, 1), name="proj")
-        self.corr_feat = nn.Conv(self.hidden, (3, 3), name="corr_feat")
-        self.flow1 = nn.Conv(self.hidden, (3, 3), name="flow1")
-        self.flow2 = nn.Conv(self.hidden, (3, 3), name="flow2")
-        self.flow_out = nn.Conv(2, (3, 3), kernel_init=zeros,
+        self.proj = Conv(self.feat_dim, (1, 1), name="proj")
+        self.corr_feat = Conv(self.hidden, (3, 3), name="corr_feat")
+        self.flow1 = Conv(self.hidden, (3, 3), name="flow1")
+        self.flow2 = Conv(self.hidden, (3, 3), name="flow2")
+        self.flow_out = Conv(2, (3, 3), kernel_init=zeros,
                                 bias_init=zeros, name="flow_out")
-        self.refine1 = nn.Conv(16, (3, 3), name="refine1")
-        self.refine_out = nn.Conv(1, (3, 3), kernel_init=zeros,
+        self.refine1 = Conv(16, (3, 3), name="refine1")
+        self.refine_out = Conv(1, (3, 3), kernel_init=zeros,
                                   bias_init=zeros, name="refine_out")
         self.feat_norm = nn.LayerNorm(name="feat_norm")
 

@@ -26,6 +26,7 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from .convs import Conv
 
 # Block counts per stage for each depth.
 STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
@@ -95,21 +96,21 @@ class Bottleneck(nn.Module):
             self.norm, feat, zero, name, self.gn_groups, self.gn_eps)
         shortcut = x
         if x.shape[-1] != self.out or self.stride != 1:
-            shortcut = nn.Conv(self.out, (1, 1), strides=(self.stride,) * 2,
+            shortcut = Conv(self.out, (1, 1), strides=(self.stride,) * 2,
                                use_bias=False, dtype=self.dtype,
                                name="shortcut_conv")(x)
             shortcut = mk(self.out, False, "shortcut_bn")(shortcut)
 
-        y = nn.Conv(self.inner, (1, 1), strides=(s1,) * 2, use_bias=False,
+        y = Conv(self.inner, (1, 1), strides=(s1,) * 2, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         y = nn.relu(mk(self.inner, False, "bn1")(y))
-        y = nn.Conv(self.inner, (3, 3), strides=(s3,) * 2,
+        y = Conv(self.inner, (3, 3), strides=(s3,) * 2,
                     kernel_dilation=(self.dilation,) * 2,
                     padding=[(self.dilation,) * 2] * 2, use_bias=False,
                     feature_group_count=self.groups,
                     dtype=self.dtype, name="conv2")(y)
         y = nn.relu(mk(self.inner, False, "bn2")(y))
-        y = nn.Conv(self.out, (1, 1), use_bias=False, dtype=self.dtype,
+        y = Conv(self.out, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv3")(y)
         y = mk(self.out, True, "bn3")(y)
         return nn.relu(y + shortcut)
@@ -126,7 +127,7 @@ class Stem(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.width, (7, 7), strides=(2, 2),
+        x = Conv(self.width, (7, 7), strides=(2, 2),
                     padding=[(3, 3), (3, 3)], use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         x = _make_norm(self.norm, self.width, False, "bn1",

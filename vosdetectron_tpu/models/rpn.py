@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..ops import boxes as box_ops
 from ..ops.nms import nms
+from .convs import Conv
 
 
 class RPNHead(nn.Module):
@@ -35,11 +36,11 @@ class RPNHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        t = nn.relu(nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
+        t = nn.relu(Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
                             dtype=self.dtype, name="conv")(x))
-        logits = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
+        logits = Conv(self.num_anchors, (1, 1), dtype=self.dtype,
                          name="cls_logits")(t)
-        deltas = nn.Conv(4 * self.num_anchors, (1, 1), dtype=self.dtype,
+        deltas = Conv(4 * self.num_anchors, (1, 1), dtype=self.dtype,
                          name="bbox_pred")(t)
         return logits, deltas
 
