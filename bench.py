@@ -110,6 +110,25 @@ def main():
         # pixel_stds MUST match (README: from-scratch training stds).
         overrides.append(("data.pixel_stds", (57.375, 57.12, 58.395)))
     log(f"bench: detector weights = {desc}")
+
+    # Device/tunnel weather probe (utils/health.py): the recorded number is
+    # only interpretable next to these rates (2026-08-18: effective HBM
+    # bandwidth 100x degraded, native convs 250x — nothing code-side can
+    # recover that). Also routes around a conv-lowering regression by
+    # switching to the dot-decomposition convs when they win big.
+    if os.environ.get("BENCH_HEALTH_PROBE", "1") != "0":
+        try:
+            from vosdetectron_tpu.utils.health import (choose_conv_impl,
+                                                       quick_probe)
+
+            health = quick_probe(small=True)
+            log(f"bench: tpu_health = {json.dumps(health)}")
+            impl = choose_conv_impl(health)
+            if impl != "native":
+                log(f"bench: conv lowering regressed -> conv_impl={impl}")
+                overrides.append(("model.conv_impl", impl))
+        except Exception as e:  # the probe must never kill the bench
+            log(f"bench: health probe failed ({e!r}); continuing")
     cfg = apply_overrides(Config(), overrides).validate()
 
     import jax
