@@ -19,6 +19,17 @@ def latest_checkpoint(ckpt_dir: str) -> str | None:
     return os.path.join(ckpt_dir, steps[-1]) if steps else None
 
 
+def save_params(path: str, params) -> None:
+    """Write a params-only snapshot loadable by load_params (stored as
+    step_0 so a dir of snapshots and a single snapshot read the same)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(os.path.abspath(path), "step_0"),
+               {"params": params}, force=True)
+    ckptr.wait_until_finished()
+
+
 def load_params(path: str):
     """Load the params subtree from a Trainer checkpoint (or a dir of
     them — picks the latest)."""
