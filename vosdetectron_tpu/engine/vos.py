@@ -651,6 +651,87 @@ class VOSEngine:
         return out
 
 
+class OnlineVOS:
+    """Streaming per-frame VOS for serving (live video): ``start()`` with
+    the first frame (plus optional first-frame GT instances — the DAVIS
+    semi-supervised protocol), then ``step(frame)`` -> (H0, W0) id map,
+    one frame at a time against persistent on-device track state.
+
+    The reference runs VOS as exactly this per-frame loop (SURVEY §3.3:
+    detect -> propagate -> associate -> render per frame); the offline
+    engine batches frames into chunked lax.scans for throughput, while
+    this wrapper drives the SAME compiled step (chunk length 1) for
+    latency-bound serving — identical semantics, one program per frame,
+    no sequence buffering. Association is sequential either way, so
+    online outputs match run_sequence up to conv batch-size numerics.
+    """
+
+    def __init__(self, engine: VOSEngine):
+        self.eng = engine
+        self._state = None
+        self._scale = None
+        self._hw = None
+        self._pack = False
+
+    def start(self, frame_bgr: np.ndarray,
+              first_frame_gt: Optional[np.ndarray] = None) -> np.ndarray:
+        """frame_bgr: (H0, W0, 3) uint8. Returns the frame-0 id map."""
+        eng = self.eng
+        h0, w0, _ = frame_bgr.shape
+        self._hw = (h0, w0)
+        self._scale = eng._output_scale(h0, w0)
+        device = jax.devices()[0]
+        if first_frame_gt is not None:
+            gt_lr, obj_ids = eng._gt_to_track_masks(first_frame_gt,
+                                                    self._scale)
+            state = eng._init_state(eng.params, jnp.asarray(frame_bgr),
+                                    jnp.asarray(gt_lr), self._scale,
+                                    jnp.asarray(obj_ids), eng.prop_params)
+            self._state = jax.device_put(state, device)
+            self._pack = eng._pack_gate(first_frame_gt, self._out_hw())
+            return first_frame_gt.astype(np.uint8)  # DAVIS protocol
+        state = empty_track_state(eng.cfg, eng.emb_dim,
+                                  pfeat=eng._empty_pfeat())
+        self._state = jax.device_put(state, device)
+        self._pack = False
+        return self.step(frame_bgr)  # unsupervised: frame 0 spawns tracks
+
+    def _out_hw(self) -> Tuple[int, int]:
+        cfg = self.eng.cfg
+        den = max(cfg.vos.render_scale_den, 1)
+        ph, pw = cfg.test.padded_image_size
+        return (ph // den, pw // den)
+
+    def step(self, frame_bgr: np.ndarray) -> np.ndarray:
+        """Advance one frame. frame_bgr: (H0, W0, 3) uint8 BGR."""
+        import cv2
+
+        if self._state is None:
+            raise RuntimeError("OnlineVOS.step before start()")
+        eng = self.eng
+        cfg = eng.cfg
+        h0, w0 = self._hw
+        if frame_bgr.shape[:2] != (h0, w0):
+            raise ValueError(f"frame shape {frame_bgr.shape[:2]} != "
+                             f"start() shape {(h0, w0)}")
+        use_yuv = (cfg.vos.upload_format == "yuv420"
+                   and h0 % 2 == 0 and w0 % 2 == 0)
+        buf = (_to_yuv420_packed(frame_bgr[None], cfg.vos.chroma_den)
+               if use_yuv else np.ascontiguousarray(frame_bgr[None]))
+        buf = jax.device_put(buf, jax.devices()[0])
+        out_hw = self._out_hw()
+        self._state, ids = eng._scan_chunk(
+            eng.params, self._state, self._scale, out_hw, buf,
+            eng.prop_params, (h0, w0), self._pack)
+        idmap = (_unpack_ids4(np.asarray(ids)) if self._pack
+                 else np.asarray(ids))[0]
+        den = max(cfg.vos.render_scale_den, 1)
+        nh = int(round(h0 * self._scale))
+        nw = int(round(w0 * self._scale))
+        m = idmap[:nh // den, :nw // den].astype(np.uint8)
+        return cv2.resize(m, (w0, h0), interpolation=cv2.INTER_NEAREST)
+
+
 def run_sequences_sharded(engine: VOSEngine, frames: np.ndarray,
                           first_gts: np.ndarray, mesh) -> List[List[np.ndarray]]:
     """Batched multi-sequence VOS eval sharded over a device mesh
