@@ -72,6 +72,17 @@ def load_detector_params():
 def main():
     import numpy as np
 
+    # Global deadline: an over-long run risks the driver's (unknown) kill
+    # timeout recording NOTHING — a short bad-weather number beats a
+    # missing one. Normal weather never comes near this; in degraded
+    # weather (2026-08-18: laps at ~1 f/s) the lap budget and lap count
+    # shrink to whatever still fits.
+    t_process = time.time()
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "480"))
+
+    def remaining():
+        return deadline_s - (time.time() - t_process)
+
     from vosdetectron_tpu.config import Config, apply_overrides
     from vosdetectron_tpu.data.davis import (DavisCatalog,
                                              materialize_synthetic_davis,
@@ -116,12 +127,13 @@ def main():
     # bandwidth 100x degraded, native convs 250x — nothing code-side can
     # recover that). Also routes around a conv-lowering regression by
     # switching to the dot-decomposition convs when they win big.
-    if os.environ.get("BENCH_HEALTH_PROBE", "1") != "0":
+    if os.environ.get("BENCH_HEALTH_PROBE", "1") != "0" and remaining() > 360:
         try:
             from vosdetectron_tpu.utils.health import (choose_conv_impl,
                                                        quick_probe)
 
-            health = quick_probe(small=True)
+            health = quick_probe(small=True,
+                                 budget_s=min(120.0, remaining() - 300))
             log(f"bench: tpu_health = {json.dumps(health)}")
             impl = choose_conv_impl(health)
             if impl != "native":
@@ -141,12 +153,17 @@ def main():
     seqs = [cat.sequence(n) for n in names]
     out_root = os.path.join(tempfile.gettempdir(), "bench_vos_out")
 
-    # Warmup: compile the scan + init programs on a full-length sequence
-    # (the persistent compile cache makes later processes skip this).
+    # Warmup: compile the scan + init programs. Two chunks exercise every
+    # program the laps use (the persistent compile cache makes later
+    # processes skip the compiles); a full-length warm sequence would cost
+    # minutes of deadline in degraded weather.
     seq0 = seqs[0]
-    warm_frames = np.stack([read_image_bgr(p) for p in seq0.frame_paths])
+    n_warm = 2 * eng.chunk
+    warm_frames = np.stack(
+        [read_image_bgr(p) for p in seq0.frame_paths[:n_warm]])
     gt0 = read_indexed_png(seq0.anno_paths[0])
     eng.run_sequence(warm_frames, gt0)
+    log(f"bench: warmup done at t+{time.time() - t_process:.0f}s")
 
     # Timed: continuous lap stream — decode -> preprocess -> upload ->
     # detect -> propagate -> PNG export, with a 2-deep cross-sequence
@@ -169,7 +186,10 @@ def main():
     # samples the pipeline. Early exit once the target is comfortably
     # beaten keeps the common case short.
     laps_target = BASELINE_FPS * 1.1
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "300"))
+    # The lap budget never extends past the global deadline (minus a
+    # margin for the final lap to finish + the JSON line to print).
+    budget_s = min(float(os.environ.get("BENCH_BUDGET_S", "300")),
+                   max(remaining() - 60, 45))
     min_laps = 3
     stream = [(lap, i) for lap in range(laps) for i in range(len(seqs))]
 
@@ -213,6 +233,11 @@ def main():
             best = max(fr / dt for fr, dt in lap_times)
             if done_laps >= min_laps and (now - t_start > budget_s
                                           or best >= laps_target):
+                break
+            # deadline pressure: one recorded lap beats a killed process
+            if remaining() < 45 or (remaining() < 120
+                                    and now - lap_t0[lap] > 60):
+                log("bench: deadline pressure — stopping lap stream")
                 break
     for f in futures.values():
         f.cancel()

@@ -21,6 +21,13 @@ def test_choose_conv_impl_prefers_native():
                              "conv_dots_tflops": 9.0}) == "native"
 
 
+def test_quick_probe_budget_truncates():
+    h = quick_probe(small=True, budget_s=0.0)
+    assert h.get("probe_truncated") == 1.0
+    # choose_conv_impl degrades safely on a truncated probe
+    assert choose_conv_impl(h) == "native"
+
+
 @pytest.mark.slow
 def test_quick_probe_smoke():
     h = quick_probe(small=True)
