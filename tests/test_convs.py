@@ -113,6 +113,45 @@ def test_bilinear_x2_dots_matches_conv_version():
     np.testing.assert_allclose(y_dots, y_native, atol=1e-6)
 
 
+def test_conv_grads_match_across_lowerings():
+    """Training runs through these modules: d(loss)/d(kernel, bias, input)
+    must agree between lowerings (dots uses plain dot_general, so VJPs are
+    automatic — this guards the decomposition's adjoint)."""
+    x = jax.random.normal(jax.random.PRNGKey(20), (2, 9, 11, 6), jnp.float32)
+    mod = Conv(features=5, kernel_size=(3, 3), strides=(2, 2),
+               padding=[(1, 1), (1, 1)])
+    set_conv_impl("native")
+    params = mod.init(jax.random.PRNGKey(21), x)
+
+    def loss(p, v):
+        return jnp.sum(mod.apply(p, v) ** 2)
+
+    set_conv_impl("native")
+    gp_n, gx_n = jax.grad(loss, argnums=(0, 1))(params, x)
+    set_conv_impl("dots")
+    gp_d, gx_d = jax.grad(loss, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gp_n),
+                    jax.tree_util.tree_leaves(gp_d)):
+        np.testing.assert_allclose(b, a, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(gx_d, gx_n, atol=1e-4, rtol=1e-4)
+
+    # transposed conv adjoint too (mask-head upconv trains)
+    tmod = ConvTranspose(features=4, kernel_size=(2, 2), strides=(2, 2))
+    set_conv_impl("native")
+    tparams = tmod.init(jax.random.PRNGKey(22), x)
+
+    def tloss(p, v):
+        return jnp.sum(tmod.apply(p, v) ** 2)
+
+    gp_n, gx_n = jax.grad(tloss, argnums=(0, 1))(tparams, x)
+    set_conv_impl("dots")
+    gp_d, gx_d = jax.grad(tloss, argnums=(0, 1))(tparams, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gp_n),
+                    jax.tree_util.tree_leaves(gp_d)):
+        np.testing.assert_allclose(b, a, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(gx_d, gx_n, atol=1e-4, rtol=1e-4)
+
+
 def test_env_var_overrides(monkeypatch):
     monkeypatch.setenv("VOSDETECTRON_CONV_IMPL", "dots")
     assert convs.get_conv_impl() == "dots"
