@@ -40,7 +40,7 @@ def det_and_inputs():
 
 def test_export_roundtrip_params_as_argument(det_and_inputs, tmp_path):
     cfg, det, img, hw = det_and_inputs
-    exp, with_params = export_detector(cfg, det.params, batch=1)
+    exp, with_params, _ = export_detector(cfg, det.params, batch=1)
     assert with_params
     out_dir = str(tmp_path / "artifact")
     save_artifact(out_dir, exp, with_params, cfg, params=det.params)
@@ -68,8 +68,8 @@ def test_export_roundtrip_params_as_argument(det_and_inputs, tmp_path):
 
 def test_export_baked_params(det_and_inputs, tmp_path):
     cfg, det, img, hw = det_and_inputs
-    exp, with_params = export_detector(cfg, det.params, batch=1,
-                                       bake_params=True)
+    exp, with_params, _ = export_detector(cfg, det.params, batch=1,
+                                          bake_params=True)
     assert not with_params
     out_dir = str(tmp_path / "baked")
     save_artifact(out_dir, exp, with_params, cfg)
@@ -83,7 +83,7 @@ def test_export_baked_params(det_and_inputs, tmp_path):
 
 def test_exported_callable_is_jittable(det_and_inputs, tmp_path):
     cfg, det, img, hw = det_and_inputs
-    exp, _ = export_detector(cfg, det.params, batch=1)
+    exp, _, _ = export_detector(cfg, det.params, batch=1)
     f = jax.jit(lambda p, a, b: exp.call(p, a, b))
     got = f(det.params, img, hw)
     ref = det.detect(jnp.asarray(img), jnp.asarray(hw))

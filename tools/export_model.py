@@ -49,9 +49,9 @@ def main():
     from vosdetectron_tpu.zoo.export import export_detector, save_artifact
 
     platforms = [s for s in args.platforms.split(",") if s] or None
-    exp, with_params = export_detector(cfg, params, batch=args.batch,
-                                       platforms=platforms,
-                                       bake_params=args.bake_params)
+    exp, with_params, params = export_detector(
+        cfg, params, batch=args.batch, platforms=platforms,
+        bake_params=args.bake_params)
     save_artifact(args.out, exp, with_params, cfg,
                   params=params if not args.bake_params else None)
     with open(os.path.join(args.out, "meta.json")) as f:

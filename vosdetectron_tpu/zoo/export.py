@@ -50,7 +50,10 @@ def export_detector(cfg, params, batch: int = 1,
                     bake_params: bool = False):
     """Export Detector._detect for fixed (batch, padded_image_size) shapes.
 
-    Returns (jax.export.Exported, call_with_params: bool). Pallas RoIAlign
+    Returns (jax.export.Exported, call_with_params: bool, params) — params
+    are the detector's actual weights (initialized when the caller passed
+    None), so save_artifact can always ship a runnable params/ dir in
+    params-as-argument mode. Pallas RoIAlign
     lowers to a tpu_custom_call; exporting it is allowed explicitly (the
     artifact is then TPU-only and tied to the Mosaic version) — the
     portable default is cfg.fast_rcnn.roi_xform_method="roi_align".
@@ -84,7 +87,7 @@ def export_detector(cfg, params, batch: int = 1,
 
     exp = export.export(fn, platforms=list(platforms) if platforms else None,
                         disabled_checks=list(disabled))(*args)
-    return exp, not bake_params
+    return exp, not bake_params, det.params
 
 
 def save_artifact(out_dir: str, exp, call_with_params: bool, cfg,
@@ -106,6 +109,12 @@ def save_artifact(out_dir: str, exp, call_with_params: bool, cfg,
         "conv_body": cfg.model.conv_body,
         "roi_xform_method": cfg.fast_rcnn.roi_xform_method,
         "program_bytes": len(data),
+        # preprocessing contract: the program starts at preprocessed
+        # tensors; a serving site must reproduce these exactly.
+        "test_scale": cfg.test.scale,
+        "test_max_size": cfg.test.max_size,
+        "pixel_means": list(cfg.data.pixel_means),
+        "pixel_stds": list(cfg.data.pixel_stds),
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
