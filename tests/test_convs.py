@@ -152,6 +152,22 @@ def test_conv_grads_match_across_lowerings():
     np.testing.assert_allclose(gx_d, gx_n, atol=1e-4, rtol=1e-4)
 
 
+def test_engine_applies_cfg_conv_impl():
+    """Engines must apply cfg.model.conv_impl before tracing programs."""
+    from vosdetectron_tpu.config import Config, apply_overrides
+    from vosdetectron_tpu.engine.inference import Detector
+
+    cfg = apply_overrides(Config(), [
+        ("model.num_classes", 2),
+        ("model.conv_impl", "dots"),
+        ("test.padded_image_size", (64, 64)),
+        ("rpn.post_nms_top_n_test", 8),
+        ("test.detections_per_im", 4),
+    ]).validate()
+    Detector(cfg, rng=0)
+    assert convs.get_conv_impl() == "dots"
+
+
 def test_env_var_overrides(monkeypatch):
     monkeypatch.setenv("VOSDETECTRON_CONV_IMPL", "dots")
     assert convs.get_conv_impl() == "dots"
