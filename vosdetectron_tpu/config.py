@@ -338,9 +338,11 @@ class VOSCfg:
     # otherwise contend with frame uploads for the tunnel (downloads are
     # starved to ~2.6 MB/s while uploads saturate the link).
     pack_downloads: bool = True
-    # Mask propagation: "identity" (masks persist, baseline) or "learned"
-    # (flow-warp + refine head; reference: fork-added propagation module,
-    # SURVEY.md §2.2 "Mask propagation / association").
+    # Mask propagation: "identity" (masks persist, baseline), "learned"/
+    # "flow_warp" (cost-volume flow + warp + refine head), or "convgru"
+    # (gated-recurrent variant — the alternate design hedge, SURVEY §7
+    # hard-part 6; reference: fork-added "recurrent/flow-warp" propagation
+    # module, SURVEY.md §2.2 "Mask propagation / association").
     propagation: str = "identity"
     prop_feat_dim: int = 16  # projected feature channels for the prop head
 
@@ -437,7 +439,8 @@ class Config:
         if self.vos.upload_format not in ("yuv420", "u8"):
             raise ValueError(
                 f"unknown vos.upload_format {self.vos.upload_format!r}")
-        if self.vos.propagation not in ("identity", "learned"):
+        if self.vos.propagation not in ("identity", "learned", "flow_warp",
+                                        "convgru"):
             raise ValueError(
                 f"unknown vos.propagation {self.vos.propagation!r}")
         return self

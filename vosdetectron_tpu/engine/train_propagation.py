@@ -25,7 +25,8 @@ import optax
 
 from ..config import Config
 from ..models.generalized_rcnn import GeneralizedRCNN, init_model_params
-from ..models.propagation import PropagationHead, init_propagation_params
+from ..models.propagation import (PropagationHead, init_propagation_params,
+                                  make_propagation_head)
 from .vos import preprocess_frame
 
 
@@ -119,7 +120,11 @@ class PropagationTrainer:
                 self.model, jax.random.PRNGKey(rng),
                 cfg.test.padded_image_size)
         self.det_params = det_params
-        self.head = PropagationHead(feat_dim=cfg.vos.prop_feat_dim)
+        # cfg selects the head variant; under "identity" (nothing to run at
+        # eval) the trainer still trains the default flow-warp head — its
+        # whole job is to produce one.
+        self.head = (make_propagation_head(cfg)
+                     or PropagationHead(feat_dim=cfg.vos.prop_feat_dim))
         emb_dim = cfg.fpn.dim if cfg.fpn.enabled else 1024
         self.head_params = init_propagation_params(
             cfg, self.head, jax.random.PRNGKey(rng + 1), emb_dim)
@@ -173,12 +178,12 @@ class PropagationTrainer:
         def pair_with_aux(params, pi, pf, ci, cf, mp):
             prev_inp = head.apply({"params": params}, pi,
                                   pf.astype(jnp.float32),
-                                  method=PropagationHead.frame_input)
+                                  method=type(self.head).frame_input)
             cur_inp = head.apply({"params": params}, ci,
                                  cf.astype(jnp.float32),
-                                 method=PropagationHead.frame_input)
+                                 method=type(self.head).frame_input)
             return head.apply({"params": params}, prev_inp, cur_inp, mp,
-                              method=PropagationHead.propagate_with_aux)
+                              method=type(self.head).propagate_with_aux)
 
         def pair_logits(params, pi, pf, ci, cf, mp):
             return pair_with_aux(params, pi, pf, ci, cf, mp)[0]
@@ -231,14 +236,14 @@ class PropagationTrainer:
             inp = jax.vmap(
                 lambda i, f: head.apply({"params": params}, i,
                                         f.astype(jnp.float32),
-                                        method=PropagationHead.frame_input)
+                                        method=type(self.head).frame_input)
             )(img, feat)
 
             def body(carry, xs):
                 prev_inp, cur_inp, gt = xs
                 logits = head.apply({"params": params}, prev_inp, cur_inp,
                                     carry,
-                                    method=PropagationHead.propagate_logits)
+                                    method=type(self.head).propagate_logits)
                 bce = optax.sigmoid_binary_cross_entropy(logits, gt)
                 w = valid.astype(jnp.float32)[:, None, None]
                 l = (bce * w).sum() / jnp.maximum(
@@ -345,14 +350,14 @@ def evaluate_rollout(trainer: PropagationTrainer, seq) -> Dict[str, float]:
         inp = jax.vmap(
             lambda i, f: head.apply({"params": params}, i,
                                     f.astype(jnp.float32),
-                                    method=PropagationHead.frame_input)
+                                    method=type(head).frame_input)
         )(img, feat)
 
         def body(carry, xs):
             prev_inp, cur_inp = xs
             logits = head.apply({"params": params}, prev_inp, cur_inp,
                                 carry,
-                                method=PropagationHead.propagate_logits)
+                                method=type(head).propagate_logits)
             m = jax.nn.sigmoid(logits)
             return m, m
 

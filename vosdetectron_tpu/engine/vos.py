@@ -28,6 +28,7 @@ import numpy as np
 from ..config import Config
 from ..models.generalized_rcnn import GeneralizedRCNN
 from ..models.propagation import (PropagationHead, TrackState,
+                                  make_propagation_head,
                                   associate_and_update, empty_track_state,
                                   init_propagation_params, masked_embedding,
                                   propagate_identity, render_indexed,
@@ -183,11 +184,10 @@ class VOSEngine:
                                        cfg.test.padded_image_size)
         self.params = params
         self.emb_dim = cfg.fpn.dim if cfg.fpn.enabled else 1024
-        self.learned_prop = cfg.vos.propagation == "learned"
-        self.prop_head = None
+        self.prop_head = make_propagation_head(cfg)
+        self.learned_prop = self.prop_head is not None
         self.prop_params = prop_params
         if self.learned_prop:
-            self.prop_head = PropagationHead(feat_dim=cfg.vos.prop_feat_dim)
             if self.prop_params is None:
                 self.prop_params = init_propagation_params(
                     cfg, self.prop_head, jax.random.PRNGKey(rng),
@@ -306,7 +306,7 @@ class VOSEngine:
             prop_inp = jax.vmap(
                 lambda i, f: self.prop_head.apply(
                     {"params": prop_params}, i, f,
-                    method=PropagationHead.frame_input))(img_lr, feat_lr)
+                    method=type(self.prop_head).frame_input))(img_lr, feat_lr)
         return det_masks_lr, det_emb, dets.scores, dets.valid, prop_inp
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4, 7, 8))
@@ -430,7 +430,7 @@ class VOSEngine:
                 * jnp.asarray(cfg.data.pixel_stds, jnp.float32)
             pfeat = self.prop_head.apply(
                 {"params": prop_params}, img_lr, feat_lr,
-                method=PropagationHead.frame_input)
+                method=type(self.prop_head).frame_input)
         alive = obj_ids > 0
         return TrackState(
             masks=gt_masks_lr, emb=emb, alive=alive,

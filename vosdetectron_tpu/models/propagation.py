@@ -283,6 +283,70 @@ class PropagationHead(nn.Module):
         return self.propagate_logits(inp, inp, masks)
 
 
+class GRUPropagationHead(PropagationHead):
+    """Gated-recurrent (ConvGRU-style) propagation — the alternate design
+    behind the same interface (SURVEY §7 hard-part 6: the fork's exact
+    head is Tier-C unknown, "recurrent/flow-warp"; this is the recurrent
+    hedge to PropagationHead's flow-warp).
+
+    The per-track mask is the recurrent state (it already rides the
+    engine's TrackState carry); gates are small convs over
+    [mask | G_{t-1} | G_t]. No flow/cost-volume path. Zero-init gates make
+    the untrained head a (slightly sharpened) identity, like the flow
+    head, so it drops into an engine without retraining anything else.
+    Shares frame_input (projection + LayerNorm) with the base class, so
+    the engine-side contract is identical.
+    """
+
+    def setup(self):
+        zeros = nn.initializers.zeros
+        self.proj = Conv(self.feat_dim, (1, 1), name="proj")
+        self.feat_norm = nn.LayerNorm(name="feat_norm")
+        self.gru1 = Conv(self.hidden, (3, 3), name="gru1")
+        self.gru2 = Conv(self.hidden, (3, 3), name="gru2")
+        # update gate: zero kernel + negative bias => z ~ 0.05 at init
+        self.gate_out = Conv(1, (3, 3), kernel_init=zeros,
+                             bias_init=nn.initializers.constant(-3.0),
+                             name="gate_out")
+        self.cand_out = Conv(1, (3, 3), kernel_init=zeros,
+                             bias_init=zeros, name="cand_out")
+
+    def propagate_with_aux(self, prev_inp: jnp.ndarray,
+                           cur_inp: jnp.ndarray, masks: jnp.ndarray
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (logits (K,mh,mw), aux (K,mh,mw)).
+
+        The aux slot (the flow head's pre-refine warp) is the input mask
+        here — there is no flow path, so an auxiliary warp loss sees a
+        parameter-free identity and contributes zero gradient."""
+        k = masks.shape[0]
+        ctx = jnp.concatenate([prev_inp, cur_inp], axis=-1)
+        ctx = jnp.broadcast_to(ctx[None], (k,) + ctx.shape)
+        x = jnp.concatenate([masks[..., None], ctx], axis=-1)
+        h = nn.relu(self.gru1(x))
+        h = nn.relu(self.gru2(h))
+        z = nn.sigmoid(self.gate_out(h))[..., 0]
+        cand = self.cand_out(h)[..., 0]
+        base = self.base_scale * (2.0 * masks - 1.0)
+        return (1.0 - z) * base + z * cand, masks
+
+
+def make_propagation_head(cfg: Config):
+    """cfg.vos.propagation -> head instance (None for "identity").
+
+    "learned" keeps meaning the flow-warp head (back-compat with shipped
+    checkpoints); "flow_warp" is its alias; "convgru" is the recurrent
+    variant."""
+    kind = cfg.vos.propagation
+    if kind == "identity":
+        return None
+    if kind in ("learned", "flow_warp"):
+        return PropagationHead(feat_dim=cfg.vos.prop_feat_dim)
+    if kind == "convgru":
+        return GRUPropagationHead(feat_dim=cfg.vos.prop_feat_dim)
+    raise ValueError(f"unknown vos.propagation {kind!r}")
+
+
 def init_propagation_params(cfg: Config, head: PropagationHead, key,
                             backbone_dim: int):
     """Jitted head init (eager flax init is ruinous over a device tunnel)."""
@@ -293,7 +357,7 @@ def init_propagation_params(cfg: Config, head: PropagationHead, key,
         return head.init(k_, jnp.zeros((mh, mw, 3), jnp.float32),
                          jnp.zeros((mh, mw, backbone_dim), jnp.float32),
                          jnp.zeros((k, mh, mw), jnp.float32),
-                         method=PropagationHead.init_all)["params"]
+                         method=type(head).init_all)["params"]
 
     return jax.jit(_init)(key)
 
