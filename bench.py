@@ -112,6 +112,13 @@ def main():
         ("rpn.min_size", 4.0),
         ("fast_rcnn.roi_xform_method", "roi_align_pallas"),
         ("vos.render_scale_den", 2),   # shrink device->host idmap transfer
+        # lossless temporal delta coding of the frame uploads: only blocks
+        # that changed vs the previous frame cross the tunnel (~2x fewer
+        # bytes on these sequences — bit-exact reconstruction on device,
+        # auto-fallback per chunk on dense change). The upload link is the
+        # binding constraint (tools/bench_pipeline.py), so this halves the
+        # tunnel bandwidth needed to reach any given f/s.
+        ("vos.upload_format", "yuv420_delta"),
         ("data.davis_root", davis_root),
     ]
 

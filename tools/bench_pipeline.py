@@ -65,6 +65,7 @@ def main():
         ("rpn.min_size", 4.0),
         ("fast_rcnn.roi_xform_method", "roi_align_pallas"),
         ("vos.render_scale_den", 2),
+        ("vos.upload_format", "yuv420_delta"),  # as bench.py runs it
         ("data.davis_root", davis_root),
     ]
     params, desc = load_detector_params()
@@ -106,6 +107,16 @@ def main():
     t0 = time.time()
     packed = [_to_yuv420_packed(c) for c in chunks]
     t_pack = time.time() - t0
+
+    # ---- delta encode (lossless temporal coding, bench.py's upload mode)
+    from vosdetectron_tpu.engine.vos import _delta_encode_chunk
+
+    t0 = time.time()
+    encs = [_delta_encode_chunk(p, cfg.vos.delta_block) for p in packed]
+    t_delta = time.time() - t0
+    delta_bytes = sum(
+        (e[0].nbytes + e[1].nbytes + e[2].nbytes) if e is not None
+        else p.nbytes for e, p in zip(encs, packed))
 
     # ---- upload: N streams, M reps; measure sustained bandwidth
     from concurrent.futures import ThreadPoolExecutor
@@ -168,6 +179,7 @@ def main():
     rows = [
         ("decode (cv2 BGR)", t / t_decode),
         ("pack (BGR->yuv420)", t / t_pack),
+        ("delta encode", n / t_delta),
         (f"upload ({mbps:.0f} MB/s)", n / t_upload),
         ("scan (device only)", n_scan_frames / t_scan),
         ("png export", len(preds) / t_png),
@@ -179,9 +191,13 @@ def main():
     for name, v in rows:
         print(f"{name:28s} {v:8.1f}")
     bytes_per_frame = nbytes / n
-    print(f"bytes/frame (yuv420): {bytes_per_frame/1024:.0f} KiB")
+    delta_per_frame = delta_bytes / n
+    print(f"bytes/frame (yuv420): {bytes_per_frame/1024:.0f} KiB; "
+          f"delta-coded: {delta_per_frame/1024:.0f} KiB "
+          f"({bytes_per_frame/delta_per_frame:.2f}x)")
     print(f"upload-bound ceiling at this bandwidth: "
-          f"{mbps * 2**20 / bytes_per_frame:.1f} f/s")
+          f"{mbps * 2**20 / bytes_per_frame:.1f} f/s full, "
+          f"{mbps * 2**20 / delta_per_frame:.1f} f/s delta")
 
 
 if __name__ == "__main__":

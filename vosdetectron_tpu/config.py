@@ -317,8 +317,18 @@ class VOSCfg:
     # Host->device frame transfer encoding. "yuv420" halves upload bytes
     # (Y full-res + 2x2-subsampled UV, reconstructed on device) — lossless
     # in practice for JPEG sources, which are already chroma-subsampled.
-    # "u8" uploads raw BGR (fallback for odd-sized frames).
+    # "yuv420_delta" adds LOSSLESS temporal delta coding on top: within a
+    # chunk, each frame uploads only the fixed-size blocks that changed vs
+    # the previous frame (video is mostly static between frames), and the
+    # device reconstructs bit-identical packed frames with a scatter scan.
+    # Auto-falls back to full-frame upload per chunk when the content
+    # doesn't compress (camera motion, noise). "u8" uploads raw BGR
+    # (fallback for odd-sized frames).
     upload_format: str = "yuv420"
+    # Block granularity (bytes) for "yuv420_delta" change detection. Finer
+    # blocks track small moving objects more tightly; coarser blocks cut
+    # per-block index overhead (4 B each).
+    delta_block: int = 256
     # Chroma subsampling denominator for the yuv upload: 2 = standard
     # 4:2:0 (1.5 B/px), 4 = an extra 2x2 chroma box filter (1.125 B/px,
     # 25% fewer upload bytes). The upload link is the binding constraint
@@ -436,7 +446,7 @@ class Config:
                     f"divisible by group_norm.num_groups={g}")
         if self.fpn.enabled and "fpn" not in self.model.conv_body:
             raise ValueError("fpn.enabled=True requires an FPN conv body")
-        if self.vos.upload_format not in ("yuv420", "u8"):
+        if self.vos.upload_format not in ("yuv420", "yuv420_delta", "u8"):
             raise ValueError(
                 f"unknown vos.upload_format {self.vos.upload_format!r}")
         if self.vos.propagation not in ("identity", "learned", "flow_warp",

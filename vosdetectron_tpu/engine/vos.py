@@ -49,6 +49,54 @@ class PreparedSequence(NamedTuple):
     first_frame_gt: Optional[np.ndarray]
 
 
+class DeltaChunk(NamedTuple):
+    """Device handle for one temporally delta-coded chunk
+    (vos.upload_format="yuv420_delta"): frame 0's full packed buffer plus,
+    per frame, the indices and payloads of the blocks that changed vs the
+    previous frame. Reconstruction (VOSEngine._expand_delta) is bit-exact;
+    upload bytes drop by however static the content is."""
+    full0: object    # (nblocks*block,) uint8 on device — padded frame 0
+    idx: object      # (C, K) int32; nblocks = drop sentinel; row 0 all-drop
+    payload: object  # (C, K, block) uint8
+    psize: int       # unpadded packed bytes per frame
+
+
+def _delta_encode_chunk(buf: np.ndarray, block: int,
+                        max_ratio: float = 0.75):
+    """(C, P) uint8 packed chunk -> (full0_padded, idx, payload) numpy
+    triple, or None when delta coding wouldn't save >= (1 - max_ratio) of
+    the bytes (dense change: camera motion, sensor noise — upload the full
+    chunk instead).
+
+    Frame j>0 is encoded as the set of `block`-byte blocks where it
+    differs from frame j-1; K (the per-frame block budget) is the max
+    changed count over the chunk, rounded up to a power of two below 64
+    and a multiple of 64 above — so the device-side reconstruction
+    program compiles for a handful of K values rather than one per
+    chunk."""
+    c, p = buf.shape
+    nb = -(-p // block)
+    pad = nb * block - p
+    a = (np.concatenate([buf, np.zeros((c, pad), np.uint8)], axis=1)
+         if pad else buf).reshape(c, nb, block)
+    if c < 2:
+        return None
+    neq = (a[1:] != a[:-1]).any(axis=2)  # (c-1, nb)
+    kmax = int(neq.sum(axis=1).max())
+    k = (1 << max(3, int(kmax - 1).bit_length()) if kmax <= 64
+         else -(-kmax // 64) * 64)
+    k = min(nb, k)
+    if nb * block + c * k * (block + 4) >= max_ratio * c * p:
+        return None
+    idx = np.full((c, k), nb, np.int32)
+    payload = np.zeros((c, k, block), np.uint8)
+    for j in range(1, c):
+        w = np.nonzero(neq[j - 1])[0]
+        idx[j, :w.size] = w
+        payload[j, :w.size] = a[j, w]
+    return np.ascontiguousarray(a[0].reshape(-1)), idx, payload
+
+
 def preprocess_frame(cfg: Config, frame_u8: jnp.ndarray, scale: float
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """uint8/float (H0, W0, 3) BGR -> padded float (PH, PW, 3); returns
@@ -309,6 +357,44 @@ class VOSEngine:
                     method=type(self.prop_head).frame_input))(img_lr, feat_lr)
         return det_masks_lr, det_emb, dets.scores, dets.valid, prop_inp
 
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _expand_delta(self, full0, idx, payload, psize: int):
+        """Reconstruct a delta-coded chunk (see DeltaChunk) to the (C, P)
+        packed frames the scan consumes. A cheap sequential scatter scan —
+        frame j = frame j-1 with its changed blocks replaced; row 0's
+        all-drop indices make frame 0 exactly full0. Out-of-range indices
+        (the padding sentinel) are dropped by the scatter."""
+        nb = full0.shape[0] // payload.shape[2]
+        b = payload.shape[2]
+
+        def body(carry, x):
+            i, pl = x
+            f = carry.reshape(nb, b).at[i].set(pl, mode="drop").reshape(-1)
+            return f, f
+
+        _, frames = jax.lax.scan(body, full0, (idx, payload))
+        return frames[:, :psize]
+
+    def _resolve_chunk(self, buf):
+        """Chunk future result -> the device array _scan_chunk consumes."""
+        if isinstance(buf, DeltaChunk):
+            return self._expand_delta(buf.full0, buf.idx, buf.payload,
+                                      buf.psize)
+        return buf
+
+    def _upload_packed(self, packed: np.ndarray, device):
+        """Upload one packed yuv420 chunk, delta-coded when the config asks
+        for it and the content cooperates."""
+        if self.cfg.vos.upload_format == "yuv420_delta":
+            enc = _delta_encode_chunk(packed, self.cfg.vos.delta_block)
+            if enc is not None:
+                f0, idx, payload = enc
+                return DeltaChunk(jax.device_put(f0, device),
+                                  jax.device_put(idx, device),
+                                  jax.device_put(payload, device),
+                                  packed.shape[1])
+        return jax.device_put(packed, device)
+
     @functools.partial(jax.jit, static_argnums=(0, 3, 4, 7, 8))
     def _scan_chunk(self, params, state: TrackState, scale: float,
                     out_hw, frames_u8: jnp.ndarray, prop_params=None,
@@ -507,14 +593,14 @@ class VOSEngine:
         padded = np.concatenate(
             [frames, np.repeat(frames[-1:], pad_t, 0)]) if pad_t else frames
         chunks = padded.reshape(-1, c, h0, w0, 3)
-        use_yuv = (cfg.vos.upload_format == "yuv420"
+        use_yuv = (cfg.vos.upload_format.startswith("yuv420")
                    and h0 % 2 == 0 and w0 % 2 == 0)
 
         def upload(i):
             # device_put on raw numpy: the jnp.asarray route transfers
             # through a ~20x slower path on this backend.
             if use_yuv:
-                return jax.device_put(
+                return self._upload_packed(
                     _to_yuv420_packed(chunks[i], cfg.vos.chroma_den),
                     device)
             return jax.device_put(np.ascontiguousarray(chunks[i]), device)
@@ -542,7 +628,7 @@ class VOSEngine:
 
         cfg = self.cfg
         probe = (jpegdec.probe_file(frame_paths[0])
-                 if cfg.vos.upload_format == "yuv420" else None)
+                 if cfg.vos.upload_format.startswith("yuv420") else None)
         if probe is None or not probe[2]:
             from ..data.davis import read_sequence_frames_paths
 
@@ -582,7 +668,7 @@ class VOSEngine:
                     # per-frame fallback (e.g. one non-4:2:0 frame)
                     bgr = read_image_bgr(frame_paths[k])
                     buf[j] = _to_yuv420_packed(bgr[None], den)[0]
-            return jax.device_put(buf, device)
+            return self._upload_packed(buf, device)
 
         chunk_futs = [self._up_pool.submit(decode_upload, i)
                       for i in range(n_chunks)]
@@ -634,7 +720,7 @@ class VOSEngine:
         state = p.state
         downloads = []
         for fut in p.chunk_futs:
-            buf = fut.result()
+            buf = self._resolve_chunk(fut.result())
             state, ids = self._scan_chunk(self.params, state, scale,
                                           out_hw, buf, self.prop_params,
                                           (h0, w0), pack)
@@ -714,7 +800,9 @@ class OnlineVOS:
         if frame_bgr.shape[:2] != (h0, w0):
             raise ValueError(f"frame shape {frame_bgr.shape[:2]} != "
                              f"start() shape {(h0, w0)}")
-        use_yuv = (cfg.vos.upload_format == "yuv420"
+        # delta coding needs a chunk's worth of temporal context — the
+        # per-frame streaming path always uploads full packed frames
+        use_yuv = (cfg.vos.upload_format.startswith("yuv420")
                    and h0 % 2 == 0 and w0 % 2 == 0)
         buf = (_to_yuv420_packed(frame_bgr[None], cfg.vos.chroma_den)
                if use_yuv else np.ascontiguousarray(frame_bgr[None]))
