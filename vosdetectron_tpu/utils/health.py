@@ -60,6 +60,29 @@ def quick_probe(small: bool = True,
         real_sync(outs[-1])
         return (time.time() - t0) / reps
 
+    def bench_iters(fn, *args, target_s=0.5, n_max=16384):
+        """Time fn(n, *args) where n is a TRACED iteration count (one
+        compile), scaling n until device work dominates the dispatch+
+        download floor (~rtt). A fixed-size probe behind an 80 ms tunnel
+        rtt measures the floor, not the device: 8 chained 1024^3 bf16
+        matmuls are 0.4 ms of MXU work — invisible behind the rtt, so the
+        old probe under-read healthy rates ~100x and overstated
+        degradation. Returns (n, seconds) for the final timed run."""
+        if time.time() - t_begin > budget_s:
+            raise _OutOfBudget
+        real_sync(fn(jnp.int32(2), *args))  # compile once
+        n = 4
+        while True:
+            if time.time() - t_begin > budget_s:
+                raise _OutOfBudget
+            t0 = time.time()
+            out = fn(jnp.int32(n), *args)
+            real_sync(out)
+            dt = time.time() - t0
+            if dt >= target_s or n >= n_max:
+                return n, dt
+            n = min(n_max, max(n * 2, int(n * target_s / max(dt, 1e-4))))
+
     results: Dict[str, float] = {}
 
     try:
@@ -75,20 +98,32 @@ def quick_probe(small: bool = True,
                              ).astype(jnp.bfloat16), dev)
         conv_flops = 2 * n * h * w * c * c * 9
 
-        @jax.jit
-        def conv_native(x, kw):
-            return lax.conv_general_dilated(
-                x, kw, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-        dt = bench(conv_native, xc, wc)
-        results["conv_native_tflops"] = round(conv_flops / dt / 1e12, 3)
+        def _renorm(y):
+            # keep the bf16 carry in range over arbitrarily many iters
+            return y * lax.rsqrt(jnp.mean(
+                y.astype(jnp.float32) ** 2) + 1e-6).astype(y.dtype)
 
         @jax.jit
-        def conv_d(x, kw):
-            return dots_conv(x, kw, (1, 1), ((1, 1), (1, 1)), (1, 1))
+        def conv_native(n, x, kw):
+            def body(_, y):
+                y = lax.conv_general_dilated(
+                    y, kw, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return _renorm(y)
+            return lax.fori_loop(0, n, body, x).ravel()[0]
 
-        dt = bench(conv_d, xc, wc)
-        results["conv_dots_tflops"] = round(conv_flops / dt / 1e12, 3)
+        n, dt = bench_iters(conv_native, xc, wc)
+        results["conv_native_tflops"] = round(n * conv_flops / dt / 1e12, 3)
+
+        @jax.jit
+        def conv_d(n, x, kw):
+            def body(_, y):
+                y = dots_conv(y, kw, (1, 1), ((1, 1), (1, 1)), (1, 1))
+                return _renorm(y)
+            return lax.fori_loop(0, n, body, x).ravel()[0]
+
+        n, dt = bench_iters(conv_d, xc, wc)
+        results["conv_dots_tflops"] = round(n * conv_flops / dt / 1e12, 3)
 
         # MXU rate: chained matmuls, compute-dense (reads stay in VMEM).
         m = 1024 if small else 4096
@@ -96,22 +131,31 @@ def quick_probe(small: bool = True,
                            dev)
 
         @jax.jit
-        def mm(a):
-            y = a
-            for _ in range(8):
+        def mm(n, a):
+            def body(_, y):
                 y = (lax.dot(y, a, preferred_element_type=jnp.float32)
-                     .astype(jnp.bfloat16) * 0.5)
-            return y
+                     .astype(jnp.bfloat16))
+                return _renorm(y)
+            return lax.fori_loop(0, n, body, a).ravel()[0]
 
-        dt = bench(mm, a)
-        results["matmul_tflops"] = round(8 * 2 * m ** 3 / dt / 1e12, 2)
+        n, dt = bench_iters(mm, a)
+        results["matmul_tflops"] = round(n * 2 * m ** 3 / dt / 1e12, 2)
 
-        # effective HBM bandwidth: elementwise add.
-        nb = (16 if small else 64) * 2 ** 20
-        xb = jax.device_put(np.zeros(nb // 4, np.float32), dev)
-        add = jax.jit(lambda v: v + 1.0)
-        dt = bench(add, xb)
-        results["elementwise_gbps"] = round(2 * nb / dt / 2 ** 30, 1)
+        # effective HBM bandwidth: elementwise add, read + write per
+        # iteration. The buffer must EXCEED VMEM (128 MiB on v5e) or the
+        # loop carry stays VMEM-resident and this reads ~4 TB/s of VMEM
+        # bandwidth instead of HBM; allocate on device (a 192 MiB
+        # device_put through a 30 MB/s tunnel would cost the budget).
+        nb = 192 * 2 ** 20
+        xb = jax.device_put(
+            jax.jit(lambda: jnp.zeros(nb // 4, jnp.float32))(), dev)
+
+        @jax.jit
+        def add(n, v):
+            return lax.fori_loop(0, n, lambda _, y: y + 1.0, v).ravel()[0]
+
+        n, dt = bench_iters(add, xb)
+        results["elementwise_gbps"] = round(n * 2 * nb / dt / 2 ** 30, 1)
 
         # tunnel transfer rates.
         mb = 8 if small else 16
