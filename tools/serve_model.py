@@ -52,7 +52,10 @@ def main():
         ppath = args.params or os.path.join(args.artifact, "params")
         from vosdetectron_tpu.utils.checkpoint import load_params
 
-        params = load_params(ppath)
+        # commit once: host-resident params re-upload on EVERY call
+        # (~150 MB through the tunnel — see VOSEngine.__init__)
+        params = jax.device_put(load_params(ppath),
+                                jax.local_devices()[0])
         print(f"params: {ppath}", file=sys.stderr)
 
     call = jax.jit(exp.call)

@@ -275,7 +275,10 @@ class Detector:
         self.model = GeneralizedRCNN(cfg)
         if params is None:
             params = self.init_params(jax.random.PRNGKey(rng))
-        self.params = params
+        # Commit weights to the device once — host-resident params are
+        # re-uploaded on every jitted call (~150 MB/call through the
+        # tunnel; see VOSEngine.__init__).
+        self.params = jax.device_put(params, jax.local_devices()[0])
 
     def init_params(self, key):
         from ..models.generalized_rcnn import init_model_params

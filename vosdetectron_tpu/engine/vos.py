@@ -230,7 +230,12 @@ class VOSEngine:
         if params is None:
             params = init_model_params(self.model, jax.random.PRNGKey(rng),
                                        cfg.test.padded_image_size)
-        self.params = params
+        # Commit the weights to the device ONCE. Host-resident (numpy)
+        # params would be re-transferred on EVERY jitted call — invisible
+        # over PCIe, but through the tunnel that is ~150 MB per chunk:
+        # measured 2026-08-18, it turned a 28 ms extract_feats into 3.8 s
+        # and capped the whole pipeline at ~3 f/s in 30 MB/s weather.
+        self.params = jax.device_put(params, jax.local_devices()[0])
         self.emb_dim = cfg.fpn.dim if cfg.fpn.enabled else 1024
         self.prop_head = make_propagation_head(cfg)
         self.learned_prop = self.prop_head is not None
@@ -240,6 +245,8 @@ class VOSEngine:
                 self.prop_params = init_propagation_params(
                     cfg, self.prop_head, jax.random.PRNGKey(rng),
                     self.emb_dim)
+            self.prop_params = jax.device_put(self.prop_params,
+                                              jax.local_devices()[0])
         # Persistent transfer pools: device_put over the host<->device link
         # is effectively synchronous, so concurrent streams are the only way
         # to keep the link saturated while the device scans.
@@ -863,6 +870,16 @@ def run_sequences_sharded(engine: VOSEngine, frames: np.ndarray,
     out_hw = (ph // den, pw // den)
 
     use_shardmap = cfg.fast_rcnn.roi_xform_method == "roi_align_pallas"
+    # engine.params are committed to ONE device (see __init__); a mesh
+    # computation needs them replicated across the mesh or jit rejects the
+    # mixed placements.
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(engine.params, repl)
+    prop_params = (None if engine.prop_params is None
+                   else jax.device_put(engine.prop_params, repl))
     with mesh:
         states = shard_batch(mesh, states)
         all_ids = []
@@ -870,12 +887,12 @@ def run_sequences_sharded(engine: VOSEngine, frames: np.ndarray,
             buf = shard_batch(mesh, jnp.asarray(chunks[:, ci]))
             if use_shardmap:
                 states, ids = engine._scan_chunk_multi_shardmap(
-                    engine.params, states, scale, out_hw, mesh, buf,
-                    engine.prop_params)
+                    params, states, scale, out_hw, mesh, buf,
+                    prop_params)
             else:
                 states, ids = engine._scan_chunk_multi(
-                    engine.params, states, scale, out_hw, buf,
-                    engine.prop_params)
+                    params, states, scale, out_hw, buf,
+                    prop_params)
             all_ids.append(np.asarray(ids))
     idmaps = np.concatenate(all_ids, axis=1)[:, :t]  # (S, T, oh, ow)
 
