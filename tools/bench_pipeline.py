@@ -121,16 +121,26 @@ def main():
     # ---- upload: N streams, M reps; measure sustained bandwidth
     from concurrent.futures import ThreadPoolExecutor
 
+    import jax.numpy as _jnp
+
+    take1 = jax.jit(lambda a: a.ravel()[0].astype(_jnp.float32))
+
+    def real_sync(x):
+        # block_until_ready can return before device work completes on
+        # this backend; only a downloaded reduced scalar is a barrier.
+        return np.asarray(take1(x))
+
     nbytes = sum(p.nbytes for p in packed)
     pool = ThreadPoolExecutor(max_workers=cfg.vos.upload_streams)
     # warm the transfer path
-    jax.device_put(packed[0], device).block_until_ready()
+    real_sync(jax.device_put(packed[0], device))
     reps = 4
     t0 = time.time()
     for _ in range(reps):
         futs = [pool.submit(jax.device_put, p, device) for p in packed]
         bufs = [f.result() for f in futs]
-        jax.block_until_ready(bufs)
+        for b in bufs:
+            real_sync(b)
     t_upload = (time.time() - t0) / reps
 
     # ---- scan on pre-uploaded chunks
@@ -149,7 +159,7 @@ def main():
     # warm compile
     st, ids = eng._scan_chunk(eng.params, state, scale, out_hw, bufs[0],
                               eng.prop_params, (h0, w0))
-    jax.block_until_ready(ids)
+    real_sync(ids)
     n_scan_frames = len(bufs) * 16 * reps
     t0 = time.time()
     st = state
@@ -157,7 +167,7 @@ def main():
         for b in bufs:
             st, ids = eng._scan_chunk(eng.params, st, scale, out_hw, b,
                                       eng.prop_params, (h0, w0))
-    jax.block_until_ready(ids)
+    real_sync(ids)
     t_scan = time.time() - t0
 
     # ---- e2e (composed, native-decode route as bench.py runs it)
