@@ -52,3 +52,20 @@ def test_vos_sequence_semi_supervised():
     # identity propagation on a static sequence keeps the GT objects
     res = evaluate_sequence(preds, list(idmaps))
     assert res["J"] > 0.7, f"propagated J too low: {res}"
+
+
+def test_engine_params_committed_to_device():
+    """Weights must be device-committed at construction: host numpy params
+    re-upload on EVERY jitted call (~150 MB/chunk through the tunnel —
+    measured 3.1 vs 183.5 f/s device scan, commit 6e400aa)."""
+    import jax
+
+    from vosdetectron_tpu.engine.inference import Detector
+
+    cfg = vos_cfg()
+    eng = VOSEngine(cfg, rng=0, chunk=2)
+    for leaf in jax.tree_util.tree_leaves(eng.params):
+        assert isinstance(leaf, jax.Array) and leaf.committed
+    det = Detector(cfg, rng=0)
+    for leaf in jax.tree_util.tree_leaves(det.params):
+        assert isinstance(leaf, jax.Array) and leaf.committed
