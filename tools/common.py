@@ -21,12 +21,14 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     return p
 
 
-def load_cfg(args):
+def load_cfg(args, base_overrides=()):
+    """Config from --cfg + tool-level defaults + --set overrides.
+    --set is applied LAST so the command line always wins."""
     import yaml
 
     from vosdetectron_tpu.config import load_config
 
-    overrides = []
+    overrides = list(base_overrides)
     for kv in args.set:
         k, v = kv.split("=", 1)
         overrides.append((k, yaml.safe_load(v)))

@@ -92,7 +92,12 @@ def quick_probe(small: bool = True,
         results["rtt_ms"] = round(bench(tiny, x1, reps=5) * 1e3, 1)
 
         # conv lowerings, native vs dots, on one representative 3x3.
-        n, h, w, c = (2, 64, 128, 32) if small else (8, 256, 448, 64)
+        # Channel count matters: c=32 underfills the 128-lane MXU and
+        # reads ~6 TF/s on a toolchain whose c>=128 convs do 56-177
+        # (measured 2026-08-18 against the real R50 shapes) — a
+        # small-channel probe would mis-rank the lowerings for the
+        # model it is guarding. res3-block geometry, modest batch.
+        n, h, w, c = (4, 64, 112, 128) if small else (16, 128, 224, 256)
         xc = jax.device_put(np.random.rand(n, h, w, c).astype(jnp.bfloat16), dev)
         wc = jax.device_put((np.random.rand(3, 3, c, c) * 0.01
                              ).astype(jnp.bfloat16), dev)
