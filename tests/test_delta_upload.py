@@ -30,11 +30,18 @@ def _chunk_with_sparse_motion(c=6, p=5000, seed=0, touched=3):
     return buf
 
 
-def _numpy_decode(enc, c, p, block):
-    """Host reference for the device reconstruction."""
+def _numpy_decode(enc, c, p, block, base=None):
+    """Host reference for the device reconstruction. For a CHAINED
+    encoding (full0 is None) pass `base`, the previous chunk's (p,) last
+    packed frame."""
     full0, idx, payload = enc
-    nb = full0.shape[0] // block
-    cur = full0.copy().reshape(nb, block)
+    nb = -(-p // block)
+    if full0 is None:
+        cur = np.zeros(nb * block, np.uint8)
+        cur[:p] = base
+        cur = cur.reshape(nb, block)
+    else:
+        cur = full0.copy().reshape(nb, block)
     out = np.empty((c, p), np.uint8)
     for j in range(c):
         for slot in range(idx.shape[1]):
@@ -52,6 +59,45 @@ def test_encode_decode_roundtrip_bitexact():
         _numpy_decode(enc, *buf.shape, block=64), buf)
     # frame 0 rides exclusively on full0 (row 0 is all-drop)
     assert (enc[1][0] == enc[0].shape[0] // 64).all()
+
+
+def test_chained_encode_decode_roundtrip_bitexact():
+    """Chunk 2 chained off chunk 1's last frame: full0 is None, row 0
+    carries real deltas, reconstruction from the base is bit-exact."""
+    both = _chunk_with_sparse_motion(c=12)
+    prev, cur = both[:6], both[6:]
+    enc = _delta_encode_chunk(cur, block=64, base=prev[-1])
+    assert enc is not None
+    assert enc[0] is None
+    # row 0 must carry at least one real (in-range) index: cur[0] differs
+    # from the base
+    nb = -(-cur.shape[1] // 64)
+    assert (enc[1][0] < nb).any()
+    np.testing.assert_array_equal(
+        _numpy_decode(enc, *cur.shape, block=64, base=prev[-1]), cur)
+
+
+def test_chained_resolve_on_device():
+    """Engine-level: chained DeltaChunk reconstructs bit-exactly from the
+    device-resident base, and resolving one without a base raises."""
+    cfg = apply_overrides(Config(), [
+        ("model.num_classes", 2),
+        ("test.padded_image_size", (128, 192)),
+        ("test.scale", 96), ("test.max_size", 192),
+        ("vos.max_tracks", 4), ("vos.track_mask_size", (32, 48)),
+        ("vos.upload_format", "yuv420_delta"), ("vos.delta_block", 64),
+    ]).validate()
+    eng = VOSEngine(cfg, rng=0, chunk=6)
+    dev = jax.devices()[0]
+    both = _chunk_with_sparse_motion(c=12, p=5003)  # non-multiple psize
+    prev, cur = both[:6], both[6:]
+    enc = eng._upload_packed(cur, dev, base=prev[-1])
+    assert isinstance(enc, DeltaChunk) and enc.full0 is None
+    base_dev = jax.device_put(prev, dev)[-1]
+    np.testing.assert_array_equal(
+        np.asarray(eng._resolve_chunk(enc, base_dev)), cur)
+    with pytest.raises(ValueError):
+        eng._resolve_chunk(enc)
 
 
 def test_encoder_falls_back_on_dense_change():

@@ -108,15 +108,20 @@ def main():
     packed = [_to_yuv420_packed(c) for c in chunks]
     t_pack = time.time() - t0
 
-    # ---- delta encode (lossless temporal coding, bench.py's upload mode)
+    # ---- delta encode (lossless temporal coding, bench.py's upload mode;
+    # chunks after the first chain off the previous chunk's last frame,
+    # exactly as prepare_sequence encodes them)
     from vosdetectron_tpu.engine.vos import _delta_encode_chunk
 
     t0 = time.time()
-    encs = [_delta_encode_chunk(p, cfg.vos.delta_block) for p in packed]
+    encs = [_delta_encode_chunk(
+                p, cfg.vos.delta_block,
+                base=packed[i - 1][-1] if i > 0 else None)
+            for i, p in enumerate(packed)]
     t_delta = time.time() - t0
     delta_bytes = sum(
-        (e[0].nbytes + e[1].nbytes + e[2].nbytes) if e is not None
-        else p.nbytes for e, p in zip(encs, packed))
+        ((0 if e[0] is None else e[0].nbytes) + e[1].nbytes + e[2].nbytes)
+        if e is not None else p.nbytes for e, p in zip(encs, packed))
 
     # ---- upload: N streams, M reps; measure sustained bandwidth
     from concurrent.futures import ThreadPoolExecutor

@@ -86,8 +86,10 @@ def main():
     seq = cat.sequence(cat.split_sequences("val")[0])
     gt0 = read_indexed_png(seq.anno_paths[0])
     prepared = eng.prepare_sequence_from_files(seq.frame_paths, gt0)
-    # one resolved packed chunk, committed on device
-    buf = eng._resolve_chunk(prepared.chunk_futs[1].result())
+    # one resolved packed chunk, committed on device (chunk 1 may be
+    # chain-delta-coded off chunk 0's last frame — resolve in order)
+    buf0 = eng._resolve_chunk(prepared.chunk_futs[0].result())
+    buf = eng._resolve_chunk(prepared.chunk_futs[1].result(), buf0[-1])
     buf = jax.device_put(np.asarray(buf), dev)
     scale = prepared.scale
     src_hw = (prepared.h0, prepared.w0)

@@ -317,18 +317,22 @@ class VOSCfg:
     # Host->device frame transfer encoding. "yuv420" halves upload bytes
     # (Y full-res + 2x2-subsampled UV, reconstructed on device) — lossless
     # in practice for JPEG sources, which are already chroma-subsampled.
-    # "yuv420_delta" adds LOSSLESS temporal delta coding on top: within a
-    # chunk, each frame uploads only the fixed-size blocks that changed vs
-    # the previous frame (video is mostly static between frames), and the
-    # device reconstructs bit-identical packed frames with a scatter scan.
-    # Auto-falls back to full-frame upload per chunk when the content
-    # doesn't compress (camera motion, noise). "u8" uploads raw BGR
-    # (fallback for odd-sized frames).
+    # "yuv420_delta" adds LOSSLESS temporal delta coding on top: each frame
+    # uploads only the fixed-size blocks that changed vs the previous frame
+    # (video is mostly static between frames), and the device reconstructs
+    # bit-identical packed frames with a scatter scan. Chunks after a
+    # sequence's first CHAIN their frame-0 delta off the previous chunk's
+    # last frame (engine/vos.py::DeltaChunk), so only the very first frame
+    # of a sequence ever uploads in full. Auto-falls back to full-frame
+    # upload per chunk when the content doesn't compress (camera motion,
+    # noise). "u8" uploads raw BGR (fallback for odd-sized frames).
     upload_format: str = "yuv420"
     # Block granularity (bytes) for "yuv420_delta" change detection. Finer
-    # blocks track small moving objects more tightly; coarser blocks cut
-    # per-block index overhead (4 B each).
-    delta_block: int = 256
+    # blocks track change more tightly at 4 B/block index overhead; device
+    # reconstruction cost is flat across 32..256 (measured >5000 f/s on
+    # v5e). 32 measured 3.6x fewer upload bytes than 256 on 480p DAVIS
+    # content, and upload is the binding constraint on tunnel hosts.
+    delta_block: int = 32
     # Chroma subsampling denominator for the yuv upload: 2 = standard
     # 4:2:0 (1.5 B/px), 4 = an extra 2x2 chroma box filter (1.125 B/px,
     # 25% fewer upload bytes). The upload link is the binding constraint

@@ -54,47 +54,77 @@ class DeltaChunk(NamedTuple):
     (vos.upload_format="yuv420_delta"): frame 0's full packed buffer plus,
     per frame, the indices and payloads of the blocks that changed vs the
     previous frame. Reconstruction (VOSEngine._expand_delta) is bit-exact;
-    upload bytes drop by however static the content is."""
-    full0: object    # (nblocks*block,) uint8 on device — padded frame 0
-    idx: object      # (C, K) int32; nblocks = drop sentinel; row 0 all-drop
+    upload bytes drop by however static the content is.
+
+    CHAINED form (full0 is None): frame 0 itself is delta-coded against
+    the LAST frame of the previous chunk (adjacent frames of the same
+    sequence), which the resolver carries on device — every chunk after a
+    sequence's first skips the full-frame upload entirely. idx row 0 then
+    holds real block indices instead of the all-drop sentinel."""
+    full0: object    # (nblocks*block,) uint8 on device, or None (chained)
+    idx: object      # (C, K) int32; nblocks = drop sentinel
     payload: object  # (C, K, block) uint8
     psize: int       # unpadded packed bytes per frame
 
 
+def _quantize_k(kmax: int, nb: int) -> int:
+    """Round the per-frame changed-block budget up to a bounded alphabet
+    (powers of two up to 64, then 8 steps per octave) so the device-side
+    reconstruction program compiles for a handful of K values rather than
+    one per chunk; padding waste is <= 12.5%."""
+    if kmax <= 64:
+        k = 1 << max(3, int(kmax - 1).bit_length())
+    else:
+        step = 1 << (int(kmax).bit_length() - 3)
+        k = -(-kmax // step) * step
+    return min(nb, k)
+
+
 def _delta_encode_chunk(buf: np.ndarray, block: int,
-                        max_ratio: float = 0.75):
+                        max_ratio: float = 0.75,
+                        base: Optional[np.ndarray] = None):
     """(C, P) uint8 packed chunk -> (full0_padded, idx, payload) numpy
     triple, or None when delta coding wouldn't save >= (1 - max_ratio) of
     the bytes (dense change: camera motion, sensor noise — upload the full
     chunk instead).
 
     Frame j>0 is encoded as the set of `block`-byte blocks where it
-    differs from frame j-1; K (the per-frame block budget) is the max
-    changed count over the chunk, rounded up to a power of two below 64
-    and a multiple of 64 above — so the device-side reconstruction
-    program compiles for a handful of K values rather than one per
-    chunk."""
+    differs from frame j-1. With `base` (the (P,) packed LAST frame of the
+    previous chunk — its temporal neighbour), frame 0 is delta-coded
+    against it too and full0 comes back None (the CHAINED DeltaChunk form;
+    the resolver supplies the base from the previous chunk's
+    reconstruction, so no full frame crosses the tunnel at all)."""
     c, p = buf.shape
     nb = -(-p // block)
     pad = nb * block - p
-    a = (np.concatenate([buf, np.zeros((c, pad), np.uint8)], axis=1)
-         if pad else buf).reshape(c, nb, block)
-    if c < 2:
-        return None
-    neq = (a[1:] != a[:-1]).any(axis=2)  # (c-1, nb)
-    kmax = int(neq.sum(axis=1).max())
-    k = (1 << max(3, int(kmax - 1).bit_length()) if kmax <= 64
-         else -(-kmax // 64) * 64)
-    k = min(nb, k)
-    if nb * block + c * k * (block + 4) >= max_ratio * c * p:
+
+    def blocks(x):
+        return (np.concatenate([x, np.zeros((x.shape[0], pad), np.uint8)],
+                               axis=1) if pad else x).reshape(-1, nb, block)
+
+    a = blocks(buf)
+    if base is None:
+        if c < 2:
+            return None
+        neq = (a[1:] != a[:-1]).any(axis=2)      # (c-1, nb), rows 1..c-1
+        first = 1
+    else:
+        prev = np.concatenate([blocks(base[None]), a[:-1]], axis=0)
+        neq = (a != prev).any(axis=2)            # (c, nb), rows 0..c-1
+        first = 0
+    k = _quantize_k(int(neq.sum(axis=1).max()) if neq.size else 0, nb)
+    full_bytes = 0 if base is not None else nb * block
+    if full_bytes + c * k * (block + 4) >= max_ratio * c * p:
         return None
     idx = np.full((c, k), nb, np.int32)
     payload = np.zeros((c, k, block), np.uint8)
-    for j in range(1, c):
-        w = np.nonzero(neq[j - 1])[0]
+    for j in range(first, c):
+        w = np.nonzero(neq[j - first])[0]
         idx[j, :w.size] = w
         payload[j, :w.size] = a[j, w]
-    return np.ascontiguousarray(a[0].reshape(-1)), idx, payload
+    full0 = None if base is not None \
+        else np.ascontiguousarray(a[0].reshape(-1))
+    return full0, idx, payload
 
 
 def preprocess_frame(cfg: Config, frame_u8: jnp.ndarray, scale: float
@@ -365,41 +395,64 @@ class VOSEngine:
         return det_masks_lr, det_emb, dets.scores, dets.valid, prop_inp
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
-    def _expand_delta(self, full0, idx, payload, psize: int):
+    def _expand_delta(self, base, idx, payload, psize: int):
         """Reconstruct a delta-coded chunk (see DeltaChunk) to the (C, P)
         packed frames the scan consumes. A cheap sequential scatter scan —
-        frame j = frame j-1 with its changed blocks replaced; row 0's
-        all-drop indices make frame 0 exactly full0. Out-of-range indices
-        (the padding sentinel) are dropped by the scatter."""
-        nb = full0.shape[0] // payload.shape[2]
+        frame j = frame j-1 with its changed blocks replaced. `base` is
+        either full0 (already block-padded; row 0's all-drop indices make
+        frame 0 exactly full0) or, for a CHAINED chunk, the previous
+        chunk's (P,) last frame (row 0 then scatters frame 0's real
+        changes onto it). Out-of-range indices (the padding sentinel) are
+        dropped by the scatter."""
         b = payload.shape[2]
+        nb = -(-psize // b)
+        pad = nb * b - base.shape[0]
+        if pad:
+            base = jnp.concatenate([base, jnp.zeros((pad,), jnp.uint8)])
 
         def body(carry, x):
             i, pl = x
             f = carry.reshape(nb, b).at[i].set(pl, mode="drop").reshape(-1)
             return f, f
 
-        _, frames = jax.lax.scan(body, full0, (idx, payload))
+        _, frames = jax.lax.scan(body, base, (idx, payload))
         return frames[:, :psize]
 
-    def _resolve_chunk(self, buf):
-        """Chunk future result -> the device array _scan_chunk consumes."""
+    def _resolve_chunk(self, buf, base=None):
+        """Chunk future result -> the device array _scan_chunk consumes.
+        `base`: the previous chunk's last packed frame on device ((P,)
+        uint8) — required to reconstruct a CHAINED DeltaChunk. Callers
+        walking a sequence keep ``base = resolved[-1]`` between chunks."""
         if isinstance(buf, DeltaChunk):
+            if buf.full0 is None:
+                if base is None:
+                    raise ValueError("chained DeltaChunk needs the previous "
+                                     "chunk's last frame as base")
+                return self._expand_delta(base, buf.idx, buf.payload,
+                                          buf.psize)
             return self._expand_delta(buf.full0, buf.idx, buf.payload,
                                       buf.psize)
         return buf
 
-    def _upload_packed(self, packed: np.ndarray, device):
+    def _upload_packed(self, packed: np.ndarray, device,
+                       base: Optional[np.ndarray] = None):
         """Upload one packed yuv420 chunk, delta-coded when the config asks
-        for it and the content cooperates."""
+        for it and the content cooperates. `base`: host copy of the
+        previous chunk's last packed frame — enables the chained encoding
+        (no full-frame upload; see DeltaChunk)."""
         if self.cfg.vos.upload_format == "yuv420_delta":
-            enc = _delta_encode_chunk(packed, self.cfg.vos.delta_block)
+            enc = _delta_encode_chunk(packed, self.cfg.vos.delta_block,
+                                      base=base)
+            if enc is None and base is not None:
+                # chained didn't fit the budget; retry self-contained
+                enc = _delta_encode_chunk(packed, self.cfg.vos.delta_block)
             if enc is not None:
                 f0, idx, payload = enc
-                return DeltaChunk(jax.device_put(f0, device),
-                                  jax.device_put(idx, device),
-                                  jax.device_put(payload, device),
-                                  packed.shape[1])
+                return DeltaChunk(
+                    None if f0 is None else jax.device_put(f0, device),
+                    jax.device_put(idx, device),
+                    jax.device_put(payload, device),
+                    packed.shape[1])
         return jax.device_put(packed, device)
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4, 7, 8))
@@ -607,9 +660,17 @@ class VOSEngine:
             # device_put on raw numpy: the jnp.asarray route transfers
             # through a ~20x slower path on this backend.
             if use_yuv:
+                # chunks after the first chain their frame-0 delta off the
+                # previous chunk's last frame (repacking that ONE frame
+                # here keeps the upload workers independent)
+                base = (_to_yuv420_packed(chunks[i - 1][-1:],
+                                          cfg.vos.chroma_den)[0]
+                        if i > 0
+                        and cfg.vos.upload_format == "yuv420_delta"
+                        else None)
                 return self._upload_packed(
                     _to_yuv420_packed(chunks[i], cfg.vos.chroma_den),
-                    device)
+                    device, base)
             return jax.device_put(np.ascontiguousarray(chunks[i]), device)
 
         chunk_futs = [self._up_pool.submit(upload, i)
@@ -663,6 +724,12 @@ class VOSEngine:
         psize = jpegdec.packed_size(h0, w0, den)
         n_chunks = (t + c - 1) // c
 
+        def decode_packed(path, out):
+            if not jpegdec.read_packed_into(path, out, den):
+                # per-frame fallback (e.g. one non-4:2:0 frame)
+                out[:] = _to_yuv420_packed(read_image_bgr(path)[None],
+                                           den)[0]
+
         def decode_upload(i):
             buf = np.empty((c, psize), np.uint8)
             for j in range(c):
@@ -670,12 +737,14 @@ class VOSEngine:
                 if k >= t:  # only the last chunk pads; the last real
                     buf[j] = buf[(t - 1) % c]  # frame is already decoded
                     continue
-                if not jpegdec.read_packed_into(frame_paths[k], buf[j],
-                                                den):
-                    # per-frame fallback (e.g. one non-4:2:0 frame)
-                    bgr = read_image_bgr(frame_paths[k])
-                    buf[j] = _to_yuv420_packed(bgr[None], den)[0]
-            return self._upload_packed(buf, device)
+                decode_packed(frame_paths[k], buf[j])
+            base = None
+            if i > 0 and cfg.vos.upload_format == "yuv420_delta":
+                # chain frame 0 off the previous chunk's last frame (one
+                # extra decode keeps the upload workers independent)
+                base = np.empty(psize, np.uint8)
+                decode_packed(frame_paths[i * c - 1], base)
+            return self._upload_packed(buf, device, base)
 
         chunk_futs = [self._up_pool.submit(decode_upload, i)
                       for i in range(n_chunks)]
@@ -726,8 +795,10 @@ class VOSEngine:
 
         state = p.state
         downloads = []
+        base = None  # previous chunk's last packed frame, for chained delta
         for fut in p.chunk_futs:
-            buf = self._resolve_chunk(fut.result())
+            buf = self._resolve_chunk(fut.result(), base)
+            base = buf[-1]
             state, ids = self._scan_chunk(self.params, state, scale,
                                           out_hw, buf, self.prop_params,
                                           (h0, w0), pack)
