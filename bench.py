@@ -268,6 +268,11 @@ def main():
         "value": round(fps_per_chip, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps_per_chip / BASELINE_FPS, 3),
+        # self-contained context for the best-lap headline: the stream
+        # average over every recorded lap (includes tunnel-stall dips)
+        "stream_avg": round(total_fr / total_dt / chips, 2),
+        "frames": total_fr,
+        "laps": len(lap_times),
     }))
 
 

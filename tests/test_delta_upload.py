@@ -100,6 +100,29 @@ def test_chained_resolve_on_device():
         eng._resolve_chunk(enc)
 
 
+def test_chained_fail_retries_self_contained():
+    """When the CHAINED encode blows the budget (dense change across the
+    chunk boundary) but the chunk itself has sparse motion, _upload_packed
+    must retry self-contained: a non-chained DeltaChunk (full0 present)
+    that still round-trips bit-exactly."""
+    cfg = apply_overrides(Config(), [
+        ("model.num_classes", 2),
+        ("test.padded_image_size", (128, 192)),
+        ("test.scale", 96), ("test.max_size", 192),
+        ("vos.max_tracks", 4), ("vos.track_mask_size", (32, 48)),
+        ("vos.upload_format", "yuv420_delta"), ("vos.delta_block", 64),
+    ]).validate()
+    eng = VOSEngine(cfg, rng=0, chunk=6)
+    dev = jax.devices()[0]
+    cur = _chunk_with_sparse_motion(c=6, p=30000)
+    base = np.random.default_rng(3).integers(0, 256, 30000, np.uint8)
+    # the chained encode really must fail for this test to mean anything
+    assert _delta_encode_chunk(cur, block=64, base=base) is None
+    enc = eng._upload_packed(cur, dev, base=base)
+    assert isinstance(enc, DeltaChunk) and enc.full0 is not None
+    np.testing.assert_array_equal(np.asarray(eng._resolve_chunk(enc)), cur)
+
+
 def test_encoder_falls_back_on_dense_change():
     rng = np.random.default_rng(1)
     buf = rng.integers(0, 256, (6, 5000), np.uint8)  # every block changes

@@ -113,11 +113,20 @@ def main():
     # exactly as prepare_sequence encodes them)
     from vosdetectron_tpu.engine.vos import _delta_encode_chunk
 
+    def encode(i, p):
+        # mirror _upload_packed's fallback chain: chained -> self-contained
+        # delta -> full chunk (counting the full chunk when only the
+        # CHAINED encode fails would overstate the bytes on
+        # boundary-dense content)
+        enc = _delta_encode_chunk(
+            p, cfg.vos.delta_block,
+            base=packed[i - 1][-1] if i > 0 else None)
+        if enc is None and i > 0:
+            enc = _delta_encode_chunk(p, cfg.vos.delta_block)
+        return enc
+
     t0 = time.time()
-    encs = [_delta_encode_chunk(
-                p, cfg.vos.delta_block,
-                base=packed[i - 1][-1] if i > 0 else None)
-            for i, p in enumerate(packed)]
+    encs = [encode(i, p) for i, p in enumerate(packed)]
     t_delta = time.time() - t0
     delta_bytes = sum(
         ((0 if e[0] is None else e[0].nbytes) + e[1].nbytes + e[2].nbytes)

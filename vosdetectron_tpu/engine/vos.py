@@ -69,13 +69,15 @@ class DeltaChunk(NamedTuple):
 
 def _quantize_k(kmax: int, nb: int) -> int:
     """Round the per-frame changed-block budget up to a bounded alphabet
-    (powers of two up to 64, then 8 steps per octave) so the device-side
-    reconstruction program compiles for a handful of K values rather than
-    one per chunk; padding waste is <= 12.5%."""
+    (powers of two up to 64, then 8 steps per octave: step = 2^(b-4) for
+    kmax of bit length b) so the device-side reconstruction program
+    compiles for a handful of K values rather than one per chunk; padding
+    waste is <= 12.5% — and the padded payload bytes really do upload, so
+    the waste bound is an upload-bytes bound too."""
     if kmax <= 64:
         k = 1 << max(3, int(kmax - 1).bit_length())
     else:
-        step = 1 << (int(kmax).bit_length() - 3)
+        step = 1 << (int(kmax).bit_length() - 4)
         k = -(-kmax // step) * step
     return min(nb, k)
 
@@ -428,6 +430,16 @@ class VOSEngine:
                 if base is None:
                     raise ValueError("chained DeltaChunk needs the previous "
                                      "chunk's last frame as base")
+                # a wrong base (different sequence / out-of-order resolve)
+                # would silently corrupt EVERY frame of the chunk — the
+                # cheap shape/dtype gate catches the common mixups
+                if base.ndim != 1 or base.shape[0] != buf.psize \
+                        or base.dtype != jnp.uint8:
+                    raise ValueError(
+                        f"chained DeltaChunk base mismatch: got "
+                        f"{base.dtype}{base.shape}, need uint8"
+                        f"({buf.psize},) — resolve chunks IN ORDER with "
+                        f"the same sequence's previous chunk")
                 return self._expand_delta(base, buf.idx, buf.payload,
                                           buf.psize)
             return self._expand_delta(buf.full0, buf.idx, buf.payload,
