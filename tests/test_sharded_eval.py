@@ -59,6 +59,56 @@ def test_sharded_multi_sequence_matches_single():
 
 
 @pytest.mark.slow
+def test_sharded_delta_upload_parity_and_bytes():
+    """The sharded eval path under yuv420_delta (chained chunks) is
+    pixel-IDENTICAL to sharded yuv420 — reconstruction is lossless, so
+    the scans see the same bytes — and agrees with the single-device
+    engine; the delta encode uploads far fewer bytes than packed
+    (VERDICT r3 #4)."""
+    from vosdetectron_tpu.engine.vos import (_delta_encode_multi,
+                                             _to_yuv420_packed)
+
+    seqs, gts = [], []
+    for seed in (0, 1):
+        frames, idmaps = make_synthetic_sequence(
+            seed, num_frames=1, size=(96, 160), num_objects=2)
+        fr = np.repeat(frames[:1], 8, axis=0).copy()
+        for t in range(1, 8):  # sparse motion: the regime delta is for
+            fr[t, 30 + t:40 + t, 50 + t:60 + t] = (255, 255, 255)
+        seqs.append(fr)
+        gts.append(np.repeat(idmaps[:1], 8, axis=0))
+    frames_s = np.stack(seqs)
+    first = np.stack([g[0] for g in gts])
+
+    cfg_delta = sharded_cfg(**{"vos.upload_format": "yuv420_delta",
+                               "vos.delta_block": 64})
+    cfg_full = sharded_cfg(**{"vos.upload_format": "yuv420",
+                              "vos.delta_block": 64})
+    mesh = make_mesh(num_devices=2)
+
+    eng_d = VOSEngine(cfg_delta, rng=0, chunk=4)  # 2 chunks: 2nd chained
+    preds_d = run_sequences_sharded(eng_d, frames_s, first, mesh,
+                                    verbose=True)
+    eng_f = VOSEngine(cfg_full, rng=0, chunk=4)
+    preds_f = run_sequences_sharded(eng_f, frames_s, first, mesh)
+
+    for i in range(2):
+        for t in range(8):
+            np.testing.assert_array_equal(preds_d[i][t], preds_f[i][t])
+        single = eng_d.run_sequence(seqs[i], gts[i][0])
+        for t in range(8):
+            assert (preds_d[i][t] == single[t]).mean() > 0.999, (i, t)
+
+    # byte accounting: chunk 2 (chained off chunk 1's last frame) must
+    # encode far smaller than its packed form
+    packed = np.stack([_to_yuv420_packed(s[4:8]) for s in seqs])
+    bases = np.stack([_to_yuv420_packed(s[3:4])[0] for s in seqs])
+    enc = _delta_encode_multi(packed, 64, bases=bases)
+    assert enc is not None and enc[0] is None  # really chained
+    assert enc[1].nbytes + enc[2].nbytes < 0.5 * packed.nbytes
+
+
+@pytest.mark.slow
 def test_sharded_pallas_roi_align_via_shard_map():
     """The Pallas RoIAlign serves the sharded multi-sequence path through
     shard_map (VERDICT r1 weak #4) — exact TPU code path, interpret mode

@@ -129,6 +129,37 @@ def _delta_encode_chunk(buf: np.ndarray, block: int,
     return full0, idx, payload
 
 
+def _delta_encode_multi(packed: np.ndarray, block: int,
+                        bases: Optional[np.ndarray] = None):
+    """Batched _delta_encode_chunk over a leading sequence axis.
+
+    packed: (S, C, P) uint8; bases: optional (S, P) previous-chunk last
+    frames (the chained form). Per-sequence encodings are padded to ONE
+    shared K (max over sequences — they share a compiled program) with the
+    out-of-range sentinel. Returns (full0 (S, NB*block) or None, idx
+    (S, C, K), payload (S, C, K, block)), or None when ANY sequence's
+    encode falls back (all-or-nothing: the chunk's sequences must travel
+    in one format)."""
+    s, c, p = packed.shape
+    encs = []
+    for i in range(s):
+        enc = _delta_encode_chunk(
+            packed[i], block, base=None if bases is None else bases[i])
+        if enc is None:
+            return None
+        encs.append(enc)
+    nb = -(-p // block)
+    k = max(e[1].shape[1] for e in encs)
+    idx = np.full((s, c, k), nb, np.int32)
+    payload = np.zeros((s, c, k, block), np.uint8)
+    for i, e in enumerate(encs):
+        ki = e[1].shape[1]
+        idx[i, :, :ki] = e[1]
+        payload[i, :, :ki] = e[2]
+    full0 = None if bases is not None else np.stack([e[0] for e in encs])
+    return full0, idx, payload
+
+
 def preprocess_frame(cfg: Config, frame_u8: jnp.ndarray, scale: float
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """uint8/float (H0, W0, 3) BGR -> padded float (PH, PW, 3); returns
@@ -420,6 +451,38 @@ class VOSEngine:
         _, frames = jax.lax.scan(body, base, (idx, payload))
         return frames[:, :psize]
 
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _expand_delta_multi(self, base, idx, payload, psize: int):
+        """_expand_delta over a leading sequence axis (base (S, NB*b) or
+        (S, P); idx (S, C, K); payload (S, C, K, b)). The per-sequence
+        scatter scans are independent, so a leading-axis sharding runs
+        each sequence's reconstruction on its own device with zero
+        collectives."""
+        return jax.vmap(lambda b, i, p: self._expand_delta.__wrapped__(
+            self, b, i, p, psize))(base, idx, payload)
+
+    def _resolve_chunk_multi(self, buf, base=None):
+        """Batched _resolve_chunk for the sharded eval path: buf is a
+        DeltaChunk whose leaves carry a leading sequence axis (see
+        _delta_encode_multi), or a plain (S, C, P) array. base: (S, P)
+        device array of each sequence's previous chunk's last frame."""
+        if isinstance(buf, DeltaChunk):
+            if buf.full0 is None:
+                if base is None:
+                    raise ValueError("chained DeltaChunk needs the previous "
+                                     "chunk's last frames as base")
+                if base.ndim != 2 or base.shape[-1] != buf.psize \
+                        or base.dtype != jnp.uint8:
+                    raise ValueError(
+                        f"chained multi base mismatch: got "
+                        f"{base.dtype}{base.shape}, need uint8"
+                        f"(S, {buf.psize})")
+                return self._expand_delta_multi(base, buf.idx, buf.payload,
+                                                buf.psize)
+            return self._expand_delta_multi(buf.full0, buf.idx, buf.payload,
+                                            buf.psize)
+        return buf
+
     def _resolve_chunk(self, buf, base=None):
         """Chunk future result -> the device array _scan_chunk consumes.
         `base`: the previous chunk's last packed frame on device ((P,)
@@ -511,32 +574,39 @@ class VOSEngine:
             ids = _pack_ids4(ids)
         return state, ids
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 7, 8))
     def _scan_chunk_multi(self, params, states: TrackState, scale: float,
-                          out_hw, frames_u8: jnp.ndarray, prop_params=None):
+                          out_hw, frames_u8: jnp.ndarray, prop_params=None,
+                          src_hw=None, pack: bool = False):
         """Sharded multi-sequence scan (workload 5 eval half).
 
         states: TrackState with leading sequence axis S; frames_u8:
-        (S, C, H0, W0, 3). The leading axis shards over the data mesh
-        (caller places inputs with shard_batch) — each device advances its
-        own sequences; there is NO cross-sequence dependency so GSPMD
-        inserts zero collectives in the hot loop.
+        (S, C, H0, W0, 3) raw BGR or (S, C, P) packed yuv420 (src_hw
+        giving (H0, W0), exactly as _scan_chunk takes it; pack likewise
+        nibble-packs the id maps). The leading axis shards over the data
+        mesh (caller places inputs with shard_batch) — each device
+        advances its own sequences; there is NO cross-sequence dependency
+        so GSPMD inserts zero collectives in the hot loop.
         """
         def one(st, fr):
             return self._scan_chunk.__wrapped__(self, params, st, scale,
-                                                out_hw, fr, prop_params)
+                                                out_hw, fr, prop_params,
+                                                src_hw, pack)
 
         return jax.vmap(one)(states, frames_u8)
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 8, 9))
     def _scan_chunk_multi_shardmap(self, params, states: TrackState,
                                    scale: float, out_hw, mesh,
-                                   frames_u8: jnp.ndarray, prop_params=None):
+                                   frames_u8: jnp.ndarray, prop_params=None,
+                                   src_hw=None, pack: bool = False):
         """shard_map variant of the multi-sequence scan: each device runs
         the UNVMAPPED per-sequence program on its shard, so the Pallas
         RoIAlign (whose scalar prefetch cannot be vmapped) serves the
         sharded eval path too (VERDICT r1 weak #4). Python-loops over the
-        per-device sequences (a static factor) instead of vmapping."""
+        per-device sequences (a static factor) instead of vmapping.
+        src_hw/pack as in _scan_chunk (packed yuv420 input, nibble-packed
+        id-map output)."""
         from jax.sharding import PartitionSpec as P
 
         s = states.alive.shape[0]
@@ -550,7 +620,8 @@ class VOSEngine:
                 sti = jax.tree_util.tree_map(lambda x: x[i], st)
                 fri = jax.tree_util.tree_map(lambda x: x[i], fr)
                 so, ids = self._scan_chunk.__wrapped__(
-                    self, params, sti, scale, out_hw, fri, pp)
+                    self, params, sti, scale, out_hw, fri, pp,
+                    src_hw, pack)
                 sts.append(so)
                 outs.append(ids)
             stacked = jax.tree_util.tree_map(
@@ -911,7 +982,8 @@ class OnlineVOS:
 
 
 def run_sequences_sharded(engine: VOSEngine, frames: np.ndarray,
-                          first_gts: np.ndarray, mesh) -> List[List[np.ndarray]]:
+                          first_gts: np.ndarray, mesh,
+                          verbose: bool = False) -> List[List[np.ndarray]]:
     """Batched multi-sequence VOS eval sharded over a device mesh
     (workload 5: "batched multi-sequence eval sharded over a v5e-8").
 
@@ -920,6 +992,14 @@ def run_sequences_sharded(engine: VOSEngine, frames: np.ndarray,
     the mesh size. The Pallas RoIAlign path runs through shard_map (each
     device invokes the kernel unvmapped on its own sequences); other
     roi_xform methods run through vmap + GSPMD.
+
+    Uploads honor cfg.vos.upload_format exactly like the single-device
+    engine: packed yuv420 (~2x fewer bytes than raw BGR) and lossless
+    temporal delta coding with cross-chunk chaining (the per-sequence
+    bases ride on device between chunks). Delta runs single-process only:
+    a multi-host global array needs identical non-leading dims, and the
+    per-chunk K alphabet is content-dependent per process. Id-map
+    downloads nibble-pack under the same gate as run_sequence.
 
     Returns per-sequence lists of (H0, W0) id maps.
     """
@@ -952,6 +1032,13 @@ def run_sequences_sharded(engine: VOSEngine, frames: np.ndarray,
     ph, pw = cfg.test.padded_image_size
     out_hw = (ph // den, pw // den)
 
+    use_yuv = (cfg.vos.upload_format.startswith("yuv420")
+               and h0 % 2 == 0 and w0 % 2 == 0)
+    use_delta = (use_yuv and cfg.vos.upload_format == "yuv420_delta"
+                 and jax.process_count() == 1)
+    src_hw = (h0, w0) if use_yuv else None
+    pack = engine._pack_gate(first_gts, out_hw)
+
     use_shardmap = cfg.fast_rcnn.roi_xform_method == "roi_align_pallas"
     # engine.params are committed to ONE device (see __init__); a mesh
     # computation needs them replicated across the mesh or jit rejects the
@@ -963,21 +1050,62 @@ def run_sequences_sharded(engine: VOSEngine, frames: np.ndarray,
     params = jax.device_put(engine.params, repl)
     prop_params = (None if engine.prop_params is None
                    else jax.device_put(engine.prop_params, repl))
+    up_bytes = 0
     with mesh:
         states = shard_batch(mesh, states)
         all_ids = []
+        base_dev = None       # (S, P) on device: previous chunk's last frames
+        prev_last = None      # host copy of the same, for the chained encode
         for ci in range(chunks.shape[1]):
-            buf = shard_batch(mesh, jnp.asarray(chunks[:, ci]))
+            if use_yuv:
+                packed = np.stack(
+                    [_to_yuv420_packed(chunks[i, ci], cfg.vos.chroma_den)
+                     for i in range(s)])                    # (S, C, psize)
+                buf = None
+                if use_delta:
+                    enc = _delta_encode_multi(packed, cfg.vos.delta_block,
+                                              bases=prev_last)
+                    if enc is None and prev_last is not None:
+                        # chained blew the budget; retry self-contained
+                        enc = _delta_encode_multi(packed,
+                                                  cfg.vos.delta_block)
+                    if enc is not None:
+                        f0, idx, payload = enc
+                        up_bytes += ((0 if f0 is None else f0.nbytes)
+                                     + idx.nbytes + payload.nbytes)
+                        dc = DeltaChunk(
+                            None if f0 is None else shard_batch(mesh, f0),
+                            shard_batch(mesh, idx),
+                            shard_batch(mesh, payload), packed.shape[2])
+                        buf = engine._resolve_chunk_multi(dc, base_dev)
+                if buf is None:
+                    up_bytes += packed.nbytes
+                    buf = shard_batch(mesh, packed)
+                base_dev = buf[:, -1]
+                prev_last = packed[:, -1]
+            else:
+                up_bytes += chunks[:, ci].nbytes
+                buf = shard_batch(mesh, jnp.asarray(chunks[:, ci]))
             if use_shardmap:
                 states, ids = engine._scan_chunk_multi_shardmap(
                     params, states, scale, out_hw, mesh, buf,
-                    prop_params)
+                    prop_params, src_hw, pack)
             else:
                 states, ids = engine._scan_chunk_multi(
                     params, states, scale, out_hw, buf,
-                    prop_params)
+                    prop_params, src_hw, pack)
             all_ids.append(np.asarray(ids))
-    idmaps = np.concatenate(all_ids, axis=1)[:, :t]  # (S, T, oh, ow)
+    idmaps = np.concatenate(all_ids, axis=1)[:, :t]  # (S, T, oh, ow[/2])
+    if pack:
+        idmaps = _unpack_ids4(idmaps)
+    if verbose:
+        import sys as _sys
+
+        n_frames = s * chunks.shape[1] * c
+        print(f"run_sequences_sharded: upload "
+              f"{up_bytes / n_frames / 1024:.1f} KiB/frame "
+              f"(format={cfg.vos.upload_format}, delta={use_delta}, "
+              f"pack_downloads={pack})", file=_sys.stderr)
 
     out = []
     for i in range(s):
