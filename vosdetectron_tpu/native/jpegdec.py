@@ -77,9 +77,69 @@ def packed_size(h: int, w: int, den: int = 2) -> int:
     return h * w + ch * cw * 2
 
 
+def exif_orientation(data: np.ndarray) -> int:
+    """EXIF Orientation (tag 0x0112) from JPEG bytes; 1 when absent or
+    unparseable. cv2.imread APPLIES the orientation while libjpeg's raw
+    path does not — any value > 1 must force the cv2 fallback or the
+    fast path silently decodes frames rotated/mirrored (real-image
+    robustness, VERDICT r3 #6). Pure-Python marker walk over the header
+    segments (APP1 precedes the entropy data, so 64 KiB is plenty)."""
+    b = bytes(data[:65536])
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        return 1
+    i, n = 2, len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            break
+        marker = b[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD9:  # standalone markers
+            i += 2
+            continue
+        if marker == 0xDA:  # SOS — no APP1 past this point
+            break
+        seglen = (b[i + 2] << 8) | b[i + 3]
+        if seglen < 2:
+            break
+        if marker == 0xE1 and b[i + 4:i + 10] == b"Exif\x00\x00":
+            t = i + 10  # TIFF header
+            if t + 8 > n:
+                break
+            bo = b[t:t + 2]
+            if bo == b"II":
+                def u16(o):
+                    return b[o] | (b[o + 1] << 8)
+
+                def u32(o):
+                    return (b[o] | (b[o + 1] << 8) | (b[o + 2] << 16)
+                            | (b[o + 3] << 24))
+            elif bo == b"MM":
+                def u16(o):
+                    return (b[o] << 8) | b[o + 1]
+
+                def u32(o):
+                    return ((b[o] << 24) | (b[o + 1] << 16)
+                            | (b[o + 2] << 8) | b[o + 3])
+            else:
+                break
+            ifd = t + u32(t + 4)
+            if ifd + 2 > n:
+                break
+            for k in range(u16(ifd)):
+                e = ifd + 2 + 12 * k
+                if e + 12 > n:
+                    break
+                if u16(e) == 0x0112:
+                    return u16(e + 8) or 1
+            break  # EXIF present, no orientation tag
+        i += 2 + seglen
+    return 1
+
+
 def probe_file(path: str) -> Optional[Tuple[int, int, bool]]:
     """-> (h, w, is420) or None when the native decoder is unavailable /
-    the file is not parseable JPEG."""
+    the file is not parseable JPEG. is420 is False (no fast path) for
+    EXIF-rotated files: the raw-plane decode would skip the rotation
+    cv2.imread applies."""
     if not HAVE_JPEGDEC:
         return None
     try:
@@ -94,16 +154,20 @@ def probe_file(path: str) -> Optional[Tuple[int, int, bool]]:
     if _LIB.jpeg_probe(data, data.size, ctypes.byref(h), ctypes.byref(w),
                        ctypes.byref(is420)) != 0:
         return None
-    return h.value, w.value, bool(is420.value)
+    ok = bool(is420.value) and exif_orientation(data) == 1
+    return h.value, w.value, ok
 
 
 def decode_packed_into(data: np.ndarray, out: np.ndarray,
                        den: int = 2) -> bool:
     """Decode JPEG bytes (uint8 array) into a preallocated packed yuv
     buffer (1-D uint8 view of size packed_size(h, w, den)). False ->
-    caller must fall back to cv2."""
+    caller must fall back to cv2 (non-4:2:0 layout, grayscale, odd
+    dimensions, EXIF rotation, or decode error)."""
     if not HAVE_JPEGDEC:
         return False
+    if exif_orientation(data) != 1:
+        return False  # cv2 rotates per EXIF; the raw path cannot
     rc = _LIB.decode_jpeg_yuv420(data, data.size, out, out.size, den)
     return rc == 0
 
