@@ -36,6 +36,45 @@ def test_synthetic_davis_tree(tmp_path):
     assert im.shape == (96, 160, 3)
 
 
+def test_hard_synthetic_generator():
+    """Curriculum generator (hardness > 0): deterministic, exact masks,
+    every object visible in most frames, and actually different content
+    from the easy generator."""
+    f1, i1 = D.make_synthetic_sequence(7, num_frames=12, size=(96, 160),
+                                       num_objects=3, hardness=1.0)
+    f2, i2 = D.make_synthetic_sequence(7, num_frames=12, size=(96, 160),
+                                       num_objects=3, hardness=1.0)
+    np.testing.assert_array_equal(f1, f2)  # deterministic
+    np.testing.assert_array_equal(i1, i2)
+    assert f1.shape == (12, 96, 160, 3) and i1.shape == (12, 96, 160)
+    assert set(np.unique(i1)) <= {0, 1, 2, 3}
+    for k in (1, 2, 3):
+        vis = ((i1 == k).sum(axis=(1, 2)) > 20).mean()
+        assert vis >= 0.8, (k, vis)
+    f0, i0 = D.make_synthetic_sequence(7, num_frames=12, size=(96, 160),
+                                       num_objects=3, hardness=0.0)
+    assert not np.array_equal(f0, f1)
+    # hardness=0 must stay bit-identical to the pre-curriculum generator
+    # (committed checkpoints + eval history depend on its exact content)
+    import hashlib
+
+    assert hashlib.sha1(f0.tobytes()).hexdigest()[:12] == "a1bf0fcc18fc", \
+        "easy-generator content drifted"
+
+
+def test_materialize_mixed_hardness(tmp_path):
+    root = str(tmp_path / "DAVIS")
+    D.materialize_synthetic_davis(root, {"easy": (0, 0.0),
+                                         "hard": (1, 1.0)},
+                                  num_frames=3, size=(96, 160),
+                                  num_objects=2)
+    cat = D.DavisCatalog(root)
+    assert cat.split_sequences("train") == ["easy", "hard"]
+    for n in ("easy", "hard"):
+        seq = cat.sequence(n)
+        assert len(seq) == 3 and len(seq.anno_paths) == 3
+
+
 def test_jf_perfect_prediction():
     _, idmaps = D.make_synthetic_sequence(0, num_frames=6, size=(96, 160),
                                           num_objects=2)

@@ -28,6 +28,13 @@ def main():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--train-seqs", type=int, default=24)
     p.add_argument("--frames", type=int, default=10)
+    p.add_argument("--size", type=int, nargs=2, default=(96, 160),
+                   help="sequence resolution; use 480 854 to train at "
+                        "the real VOS geometry")
+    p.add_argument("--objects", type=int, default=2)
+    p.add_argument("--hardness", type=float, default=0.0,
+                   help="curriculum hardness ceiling (sequences ramp "
+                        "0 -> this)")
     p.add_argument("--out", required=True, help="output checkpoint dir")
     args = p.parse_args()
     cfg = load_cfg(args)
@@ -48,7 +55,9 @@ def main():
     head_params, report = train_on_synthetic(
         cfg, num_train_seqs=args.train_seqs, num_frames=args.frames,
         steps=args.steps, lr=args.lr, det_params=det_params,
-        unroll_steps=args.unroll_steps, deform_prob=args.deform_prob)
+        unroll_steps=args.unroll_steps, deform_prob=args.deform_prob,
+        size=tuple(args.size), num_objects=args.objects,
+        hardness=args.hardness)
 
     print(f"held-out single-step J: identity={report['J_identity']:.4f} "
           f"learned(init)={report['J_learned_init']:.4f} "

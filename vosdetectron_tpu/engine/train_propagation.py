@@ -407,7 +407,8 @@ def train_on_synthetic(cfg: Config, num_train_seqs: int = 24,
                        det_params=None,
                        log_every: int = 50,
                        unroll_steps: int = 0,
-                       deform_prob: float = 0.0):
+                       deform_prob: float = 0.0,
+                       hardness: float = 0.0):
     """Train on synthetic moving sequences; report J vs identity on a
     held-out sequence with unseen motion. Returns (head_params, report).
 
@@ -415,16 +416,27 @@ def train_on_synthetic(cfg: Config, num_train_seqs: int = 24,
     deformed input masks, `deform_prob`).
     Phase 2 (`unroll_steps`): closed-loop fine-tune, backprop through the
     whole-sequence rollout — targets the drift pair training cannot see.
+
+    hardness > 0 trains on the curriculum generator (camera pan, scale
+    change, crossings — data/davis.py::_make_hard_sequence); training
+    sequences ramp 0 -> hardness so easy motion is still covered. Seeds
+    stay < 950 (eval_quality's held-out seeds start at 1000).
     """
     from ..data.davis import make_synthetic_sequence
 
     trainer = PropagationTrainer(cfg, det_params=det_params, rng=rng, lr=lr,
                                  deform_prob=deform_prob)
-    train_seqs = [make_synthetic_sequence(seed, num_frames, size,
-                                          num_objects)
-                  for seed in range(rng, rng + num_train_seqs)]
-    val_seq = make_synthetic_sequence(rng + 1000, num_frames, size,
-                                      num_objects)
+
+    def hard(i):
+        if hardness <= 0 or num_train_seqs <= 1:
+            return 0.0
+        return hardness * min(1.0, i / max(num_train_seqs * 0.6, 1))
+
+    train_seqs = [make_synthetic_sequence(rng + i, num_frames, size,
+                                          num_objects, hardness=hard(i))
+                  for i in range(num_train_seqs)]
+    val_seq = make_synthetic_sequence(rng + 950, num_frames, size,
+                                      num_objects, hardness=hardness)
 
     batches = build_pair_batches(trainer, train_seqs)
     val_batch = build_pair_batches(trainer, [val_seq])[0]
