@@ -174,6 +174,127 @@ def test_semi_supervised_tracks_never_retire():
     np.testing.assert_allclose(np.asarray(st.masks[0]), np.asarray(mask))
 
 
+def _rescue_setup(cfg, n_lost=1):
+    """Two alive tracks: slot 0 'lost' (drifted, decayed score), slot 1
+    healthy. Anchor embeddings one-hot on distinct axes."""
+    st = empty_track_state(cfg, 8)
+    mh, mw = cfg.vos.track_mask_size
+    drifted = jnp.zeros((mh, mw)).at[0:4, 0:4].set(1.0)   # far corner
+    healthy = square_mask(cfg, 4, 12)
+    emb = st.emb.at[0, 0].set(1.0).at[1, 1].set(1.0)
+    return TrackState(
+        masks=st.masks.at[0].set(drifted).at[1].set(healthy),
+        emb=emb,
+        alive=st.alive.at[0].set(True).at[1].set(True),
+        miss=st.miss,
+        score=st.score.at[0].set(0.2).at[1].set(0.9),
+        obj_id=st.obj_id.at[0].set(1).at[1].set(2),
+        pfeat=None,
+        emb0=emb)
+
+
+def test_rescue_reanchors_drifted_track():
+    """A lost track (decayed score, zero IoU with every det) must be
+    re-anchored outright to a confident unclaimed detection that is its
+    unambiguous anchor-embedding match."""
+    cfg = make_cfg()
+    st = _rescue_setup(cfg)
+    mh, mw = cfg.vos.track_mask_size
+    d = cfg.vos.max_dets_per_frame
+    det0 = jnp.zeros((mh, mw)).at[8:14, 16:22].set(1.0)  # where obj 1 really is
+    dm = jnp.zeros((d, mh, mw)).at[0].set(det0)
+    de = jnp.zeros((d, 8)).at[0, 0].set(1.0)             # matches track 0 anchor
+    ds = jnp.zeros((d,)).at[0].set(0.9)
+    dv = jnp.zeros((d,), bool).at[0].set(True)
+    propagated = st.masks
+    out = associate_and_update(cfg, st, dm, de, ds, dv, propagated)
+    np.testing.assert_allclose(np.asarray(out.masks[0]), np.asarray(det0),
+                               atol=1e-6)
+    assert float(out.score[0]) >= 0.9 - 1e-6
+    # anchor embedding itself must remain frozen
+    np.testing.assert_allclose(np.asarray(out.emb0[0, 0]), 1.0)
+    # healthy track untouched
+    np.testing.assert_allclose(np.asarray(out.masks[1]),
+                               np.asarray(st.masks[1]), atol=1e-6)
+
+
+def test_rescue_requires_confident_track_to_stay_put():
+    """A CONFIDENT track (score above rescue_track_conf) is never
+    re-anchored, even by a perfect embedding match with zero IoU —
+    that is the agreement gate's jurisdiction."""
+    cfg = make_cfg()
+    st = _rescue_setup(cfg)
+    st = st._replace(score=st.score.at[0].set(0.9))  # track 0 confident
+    mh, mw = cfg.vos.track_mask_size
+    d = cfg.vos.max_dets_per_frame
+    det0 = jnp.zeros((mh, mw)).at[8:14, 16:22].set(1.0)
+    dm = jnp.zeros((d, mh, mw)).at[0].set(det0)
+    de = jnp.zeros((d, 8)).at[0, 0].set(1.0)
+    ds = jnp.zeros((d,)).at[0].set(0.9)
+    dv = jnp.zeros((d,), bool).at[0].set(True)
+    out = associate_and_update(cfg, st, dm, de, ds, dv, st.masks)
+    np.testing.assert_allclose(np.asarray(out.masks[0]),
+                               np.asarray(st.masks[0]), atol=1e-6)
+
+
+def test_rescue_ambiguous_match_declines():
+    """Two lost tracks with the SAME anchor embedding and one candidate
+    detection: the margin/mutual-best test must refuse to guess."""
+    cfg = make_cfg()
+    st = _rescue_setup(cfg)
+    emb = st.emb.at[1].set(0.0).at[1, 0].set(1.0)  # track 1 same axis as 0
+    st = st._replace(emb=emb, emb0=emb,
+                     score=st.score.at[1].set(0.2))  # both lost
+    mh, mw = cfg.vos.track_mask_size
+    d = cfg.vos.max_dets_per_frame
+    det0 = jnp.zeros((mh, mw)).at[8:14, 16:22].set(1.0)
+    dm = jnp.zeros((d, mh, mw)).at[0].set(det0)
+    de = jnp.zeros((d, 8)).at[0, 0].set(1.0)
+    ds = jnp.zeros((d,)).at[0].set(0.9)
+    dv = jnp.zeros((d,), bool).at[0].set(True)
+    out = associate_and_update(cfg, st, dm, de, ds, dv, st.masks)
+    # Two equally-similar lost tracks: the COLUMN margin (chosen det must
+    # prefer this track over every other lost track by rescue_margin)
+    # refuses the coin flip — neither track may be re-anchored.
+    for i in (0, 1):
+        np.testing.assert_allclose(np.asarray(out.masks[i]),
+                                   np.asarray(st.masks[i]), atol=1e-6)
+
+
+def test_rescue_leaves_claimed_detection_alone():
+    """A detection blending into a healthy track (agreeing match) must not
+    simultaneously re-anchor a lost track."""
+    cfg = make_cfg(assoc_det_floor=0.0)
+    st = _rescue_setup(cfg)
+    mh, mw = cfg.vos.track_mask_size
+    d = cfg.vos.max_dets_per_frame
+    det0 = square_mask(cfg, 5, 13)  # near-identical to healthy track 1
+    dm = jnp.zeros((d, mh, mw)).at[0].set(det0)
+    # embedding matches BOTH track anchors equally (axis 0 and 1)
+    de = jnp.zeros((d, 8)).at[0, 0].set(0.707).at[0, 1].set(0.707)
+    ds = jnp.zeros((d,)).at[0].set(0.95)
+    dv = jnp.zeros((d,), bool).at[0].set(True)
+    out = associate_and_update(cfg, st, dm, de, ds, dv, st.masks)
+    # lost track 0 must NOT adopt the det claimed by healthy track 1
+    np.testing.assert_allclose(np.asarray(out.masks[0]),
+                               np.asarray(st.masks[0]), atol=1e-6)
+
+
+def test_rescue_disabled_keeps_lost_track_drifting():
+    cfg = make_cfg(assoc_rescue=False)
+    st = _rescue_setup(cfg)
+    mh, mw = cfg.vos.track_mask_size
+    d = cfg.vos.max_dets_per_frame
+    det0 = jnp.zeros((mh, mw)).at[8:14, 16:22].set(1.0)
+    dm = jnp.zeros((d, mh, mw)).at[0].set(det0)
+    de = jnp.zeros((d, 8)).at[0, 0].set(1.0)
+    ds = jnp.zeros((d,)).at[0].set(0.9)
+    dv = jnp.zeros((d,), bool).at[0].set(True)
+    out = associate_and_update(cfg, st, dm, de, ds, dv, st.masks)
+    np.testing.assert_allclose(np.asarray(out.masks[0]),
+                               np.asarray(st.masks[0]), atol=1e-6)
+
+
 def test_unsupervised_tracks_retire_after_miss_tolerance():
     """Unsupervised mode keeps the reference's retire semantics."""
     cfg = make_cfg(miss_tolerance=3, semi_supervised=False,

@@ -300,6 +300,21 @@ class VOSCfg:
     # confident the detector is (confidence is uninformative when the
     # detector is wrong-but-sure; agreement is not).
     assoc_agreement_gate: Tuple[float, float] = (0.3, 0.7)
+    # Drift rescue (re-identification): a track whose confidence has
+    # decayed (no agreeing detection for many frames — the signature of
+    # propagation drift) may be RE-ANCHORED outright to a confident,
+    # unclaimed detection that is its MUTUAL best match by anchor-
+    # embedding similarity (the immutable frame-0 embedding, immune to
+    # drift pollution) with a margin over the track's second-best
+    # candidate. This is the recovery path the agreement gate closes:
+    # once drifted, det-vs-prop IoU is ~0 forever, so only appearance
+    # can bring the track back (reference: fork association re-ID via
+    # appearance features, SURVEY.md §2.2).
+    assoc_rescue: bool = True
+    rescue_track_conf: float = 0.5  # track score below which rescue arms
+    rescue_det_conf: float = 0.6    # min detection score to re-anchor from
+    rescue_sim: float = 0.5         # min anchor-embedding cosine (in [0,1])
+    rescue_margin: float = 0.02     # margin over the 2nd-best candidate
     max_spawn: int = 4       # new tracks per frame (unsupervised mode)
     emb_ema: float = 0.7     # appearance-embedding EMA keep fraction
     score_decay: float = 0.95  # per-frame track-score decay when unmatched

@@ -16,6 +16,7 @@ batches stay large and MXU-friendly.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -136,11 +137,32 @@ class PropagationTrainer:
 
     # ------------------------------------------------------------ features
 
-    def frame_inputs(self, frames_u8: np.ndarray, scale: float
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def frame_inputs(self, frames_u8: np.ndarray, scale: float,
+                     max_batch: int = 8) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, H0, W0, 3) uint8 -> (img_lr (B,mh,mw,3) f32,
-        feat_lr (B,mh,mw,C) bf16) with the frozen detector."""
-        return self._fi_jit(self.det_params, jnp.asarray(frames_u8), scale)
+        feat_lr (B,mh,mw,C) bf16) with the frozen detector.
+
+        Chunked through the backbone in `max_batch`-frame pieces: a whole
+        long sequence as ONE backbone batch at 512x896 exhausts HBM (the
+        outputs at track res are tiny; the backbone activations are not).
+        Chunks are padded to max_batch so there is exactly one compiled
+        shape regardless of sequence length."""
+        frames_u8 = np.asarray(frames_u8)
+        t = frames_u8.shape[0]
+        if t <= max_batch:
+            return self._fi_jit(self.det_params, jnp.asarray(frames_u8),
+                                scale)
+        imgs, feats = [], []
+        for s in range(0, t, max_batch):
+            chunk = frames_u8[s:s + max_batch]
+            pad = max_batch - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad, 0)])
+            il, fl = self._fi_jit(self.det_params, jnp.asarray(chunk), scale)
+            imgs.append(il if not pad else il[:-pad])
+            feats.append(fl if not pad else fl[:-pad])
+        return jnp.concatenate(imgs, 0), jnp.concatenate(feats, 0)
 
     def _make_frame_inputs(self):
         import functools
@@ -291,8 +313,12 @@ class PropagationTrainer:
 
     # ------------------------------------------------------------ eval
 
-    def evaluate_pairs(self, batch) -> Dict[str, float]:
-        """Mean J (IoU@0.5) of learned propagation vs identity baseline."""
+    def evaluate_pairs(self, batch, chunk: int = 8) -> Dict[str, float]:
+        """Mean J (IoU@0.5) of learned propagation vs identity baseline.
+
+        Evaluated in `chunk`-pair pieces — one giant vmap over a long
+        sequence's T-1 pairs needs T-1 sets of head activations at once
+        and OOMs the chip for T ~ 24."""
         pi, pf, ci, cf, mp, mc, valid = batch
 
         @jax.jit
@@ -302,7 +328,13 @@ class PropagationTrainer:
                                                         d, e))(
                 pi, pf, ci, cf, mp)
 
-        logits = np.asarray(run(self.head_params, pi, pf, ci, cf, mp))
+        pieces = []
+        for s in range(0, pi.shape[0], chunk):
+            e = s + chunk
+            pieces.append(np.asarray(run(self.head_params, pi[s:e],
+                                         pf[s:e], ci[s:e], cf[s:e],
+                                         mp[s:e])))
+        logits = np.concatenate(pieces, 0)
         prop = (logits > 0.0)
 
         def mean_iou(pred):
@@ -336,6 +368,21 @@ def build_sequence_batches(trainer: PropagationTrainer,
         out.append((img_lr, feat_lr, jnp.asarray(masks),
                     jnp.asarray(valid)))
     return out
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def pair_window(seq, start, n: int):
+    """Slice an n-pair training batch out of a device-resident sequence
+    batch (from build_sequence_batches) WITHOUT materializing every pair
+    of the sequence up front: holding all T-1 pairs of long sequences
+    duplicates the sequence arrays and starves HBM. One jitted program of
+    slices on already-uploaded arrays — nothing crosses the host tunnel."""
+    img, feat, masks, valid = seq
+    sl = lambda a, s: jax.lax.dynamic_slice_in_dim(a, s, n, 0)  # noqa: E731
+    return (sl(img, start), sl(feat, start),
+            sl(img, start + 1), sl(feat, start + 1),
+            sl(masks, start), sl(masks, start + 1),
+            jnp.tile(valid[None], (n, 1)))
 
 
 def evaluate_rollout(trainer: PropagationTrainer, seq) -> Dict[str, float]:
@@ -438,20 +485,31 @@ def train_on_synthetic(cfg: Config, num_train_seqs: int = 24,
     val_seq = make_synthetic_sequence(rng + 950, num_frames, size,
                                       num_objects, hardness=hardness)
 
-    batches = build_pair_batches(trainer, train_seqs)
+    # One device-resident copy of each sequence; pair batches are sliced
+    # out per step (pair_window) instead of materialized T-1-pairs-deep —
+    # at num_frames 24 the materialized form plus backbone activations
+    # exhausts HBM.
+    seqs = build_sequence_batches(trainer, train_seqs)
     val_batch = build_pair_batches(trainer, [val_seq])[0]
+    w = min(9, num_frames - 1)
+    starts = np.random.RandomState(rng + 3)
+
+    def window(it):
+        seq = seqs[it % len(seqs)]
+        hi = num_frames - w  # exclusive bound for a start with a +1 slice
+        s0 = int(starts.randint(0, hi)) if hi > 0 else 0
+        return pair_window(seq, s0, w)
 
     base = trainer.evaluate_pairs(val_batch)
     history = []
     key = jax.random.PRNGKey(rng + 7)
     for it in range(steps):
         key, sub = jax.random.split(key)
-        loss = trainer.train_step(batches[it % len(batches)], sub)
+        loss = trainer.train_step(window(it), sub)
         if log_every and (it % log_every == 0 or it == steps - 1):
             history.append((it, loss))
     report = {}
     if unroll_steps:
-        seqs = build_sequence_batches(trainer, train_seqs)
         val_seq_b = build_sequence_batches(trainer, [val_seq])[0]
         report["J_rollout_mid"] = evaluate_rollout(
             trainer, val_seq_b)["J_rollout"]
@@ -463,7 +521,7 @@ def train_on_synthetic(cfg: Config, num_train_seqs: int = 24,
         for it in range(unroll_steps):
             loss = trainer.train_step_unrolled(seqs[it % len(seqs)])
             key, sub = jax.random.split(key)
-            trainer.train_step(batches[it % len(batches)], sub)
+            trainer.train_step(window(it), sub)
             if log_every and (it % log_every == 0
                               or it == unroll_steps - 1):
                 history.append((steps + it, loss))

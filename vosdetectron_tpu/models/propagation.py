@@ -44,6 +44,11 @@ class TrackState(NamedTuple):
     # flow-warp head; None under identity propagation (None is an empty
     # pytree, so the scan carry structure stays consistent either way).
     pfeat: Optional[jnp.ndarray] = None
+    # Anchor embedding: frozen at track birth (frame-0 GT / spawn det),
+    # never EMA-updated — the drift-immune appearance identity the
+    # rescue stage matches against (state.emb can be polluted by frames
+    # of wrong-match EMA once a track has drifted).
+    emb0: Optional[jnp.ndarray] = None
 
 
 def empty_track_state(cfg: Config, emb_dim: int,
@@ -58,6 +63,7 @@ def empty_track_state(cfg: Config, emb_dim: int,
         score=jnp.zeros((k,), jnp.float32),
         obj_id=jnp.zeros((k,), jnp.int32),
         pfeat=pfeat,
+        emb0=jnp.zeros((k, emb_dim), jnp.float32),
     )
 
 
@@ -425,6 +431,51 @@ def associate_and_update(cfg: Config, state: TrackState,
         jnp.maximum(jnp.where(w > 0, det_scores[midx], 0.0),
                     state.score * v.score_decay),
         state.score * v.score_decay)
+
+    if v.assoc_rescue:
+        # Drift rescue (re-identification). Once a track has drifted, its
+        # det-vs-prop IoU is ~0 for every detection, so the agreement gate
+        # (correctly) blocks all mask updates and the track can never
+        # recover — its score just decays. When that decay marks the track
+        # as lost, re-anchor it OUTRIGHT to a confident detection that no
+        # healthy track claimed, provided the pairing is unambiguous:
+        # mutual best by ANCHOR-embedding similarity (emb0 is frozen at
+        # birth, immune to wrong-match EMA pollution) with a margin over
+        # the track's second-best candidate (margins, not absolute
+        # similarity, discriminate identities — cosines of ReLU features
+        # are uniformly high).
+        k, d = score.shape
+        anchor = state.emb0 if state.emb0 is not None else state.emb
+        sim0 = (anchor @ det_emb.T + 1.0) * 0.5            # (K, D)
+        lost = state.alive & (state.score < v.rescue_track_conf) \
+            & ~(matched & (w > 0.1))
+        claimed = jnp.zeros((d,)).at[midx].max(
+            jnp.where(matched & (w > 0.1), 1.0, 0.0)) > 0.5
+        free = det_valid & (det_scores >= v.rescue_det_conf) & ~claimed
+        neg = -jnp.inf
+        s = jnp.where(lost[:, None] & free[None, :], sim0, neg)
+        bj = jnp.argmax(s, axis=1)                         # (K,)
+        bv = jnp.max(s, axis=1)
+        second = jnp.max(jnp.where(jnp.arange(d)[None, :] == bj[:, None],
+                                   neg, s), axis=1)
+        mutual = jnp.argmax(s, axis=0)[bj] == jnp.arange(k)
+        # Column margin: the chosen det must prefer THIS track over every
+        # other lost track by the same margin — two identical-looking lost
+        # objects must not be resolved by a coin flip (identity swaps are
+        # worse for J&F than staying lost: a swap zeroes TWO objects).
+        col_second = jnp.max(
+            jnp.where(jnp.arange(k)[:, None] == jnp.arange(k)[None, :],
+                      neg, s.T[bj]), axis=1)               # (K,)
+        rescue = lost & jnp.isfinite(bv) & (bv >= v.rescue_sim) \
+            & (bv - second >= v.rescue_margin) \
+            & (bv - col_second >= v.rescue_margin) & mutual
+        new_masks = jnp.where(rescue[:, None, None],
+                              det_masks_lr[bj], new_masks)
+        # Reset the working embedding to the re-anchoring detection's —
+        # the current one carries frames of drift pollution.
+        new_emb = jnp.where(rescue[:, None], det_emb[bj], new_emb)
+        new_miss = jnp.where(rescue, 0, new_miss)
+        new_score = jnp.where(rescue, det_scores[bj], new_score)
     # Retirement is an UNSUPERVISED-mode concept (reference: spawn/retire
     # of discovered tracks). Under the DAVIS semi-supervised protocol the
     # object set is fixed at frame 0 and a retired track can never return
@@ -439,7 +490,7 @@ def associate_and_update(cfg: Config, state: TrackState,
         alive = state.alive & (new_miss <= v.miss_tolerance)
 
     state = TrackState(new_masks, new_emb, alive, new_miss, new_score,
-                       state.obj_id, state.pfeat)
+                       state.obj_id, state.pfeat, state.emb0)
 
     if not v.semi_supervised:
         state = _spawn_tracks(cfg, state, det_masks_lr, det_emb, det_scores,
@@ -476,6 +527,8 @@ def _spawn_tracks(cfg: Config, state: TrackState, det_masks_lr, det_emb,
                             st.score),
             obj_id=jnp.where(ok, st.obj_id.at[free].set(next_id), st.obj_id),
             pfeat=st.pfeat,
+            emb0=None if st.emb0 is None else jnp.where(
+                ok, st.emb0.at[free].set(det_emb[j]), st.emb0),
         )
         cand = cand.at[j].set(-jnp.inf)
         return st, cand
