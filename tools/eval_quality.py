@@ -63,6 +63,12 @@ def main():
                    help="real DAVIS checkout: score --split sequences "
                         "instead of synthetic")
     p.add_argument("--split", default="val")
+    p.add_argument("--diagnose", default=None, metavar="OUT.jsonl",
+                   help="dump per-object per-frame J trajectories (host-"
+                        "side, from the rendered id maps) so failures can "
+                        "be attributed: an object whose J collapses at "
+                        "frame k and stays down is drift/ID-switch; a "
+                        "uniformly mediocre trajectory is mask quality")
     args = p.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -128,6 +134,35 @@ def main():
                 num_objects=args.objects, hardness=args.hardness)
             cases.append((f"heldout_{seed}", frames, list(idmaps)))
 
+    diag_f = open(args.diagnose, "w") if args.diagnose else None
+
+    def diagnose(name, preds, gts):
+        """Per-object per-frame J (region IoU only — cheap), plus the
+        first frame each object's J dips below 0.5 ('lost_at')."""
+        import json as _json
+
+        from vosdetectron_tpu.metrics.davis_jf import mask_iou
+
+        oids = sorted(int(i) for i in np.unique(gts[0]) if i != 0)
+        per_obj = {}
+        for oid in oids:
+            js = [round(mask_iou(preds[t] == oid, gts[t] == oid), 3)
+                  for t in range(1, len(gts))]
+            lost = next((t + 1 for t, v in enumerate(js) if v < 0.5), None)
+            recovered = (lost is not None
+                         and any(v >= 0.5 for v in js[lost:]))
+            per_obj[oid] = {"J_frames": js, "lost_at": lost,
+                            "recovered": bool(recovered)}
+        diag_f.write(_json.dumps({"seq": name, "objects": per_obj}) + "\n")
+        diag_f.flush()
+        for oid, d in per_obj.items():
+            tag = (f"lost@{d['lost_at']}"
+                   f"{'+recovered' if d['recovered'] else ''}"
+                   if d["lost_at"] else "tracked")
+            print(f"    obj {oid}: meanJ="
+                  f"{float(np.mean(d['J_frames'])):.3f} {tag}",
+                  file=sys.stderr, flush=True)
+
     rows = []
     for name, frames, gts in cases:
         if isinstance(frames, list):  # real checkout: file paths
@@ -139,6 +174,10 @@ def main():
         rows.append((name, res["J"], res["F"], res["J&F"]))
         print(f"{name:20s} J={res['J']:.3f} F={res['F']:.3f} "
               f"J&F={res['J&F']:.3f}", flush=True)
+        if diag_f is not None:
+            diagnose(name, preds, gts)
+    if diag_f is not None:
+        diag_f.close()
 
     mj = float(np.mean([r[1] for r in rows]))
     mf = float(np.mean([r[2] for r in rows]))

@@ -69,6 +69,20 @@ def main():
     if params is not None:
         overrides.append(("data.pixel_stds", (57.375, 57.12, 58.395)))
     print(f"weights: {desc}", file=sys.stderr)
+
+    # Learned propagation head, exactly as bench.py runs it — the phase
+    # table must describe the SHIPPED configuration (profiling identity
+    # propagation would understate the recurrence phase).
+    prop_params = None
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prop_dir = os.path.join(repo, "zoo", "prop_head_det")
+    if (params is not None and os.path.isdir(prop_dir)
+            and os.environ.get("PROFILE_PROP", "1") != "0"):
+        from vosdetectron_tpu.utils.checkpoint import load_params
+
+        prop_params = load_params(prop_dir)
+        overrides.append(("vos.propagation", "learned"))
+        print(f"propagation: learned ({prop_dir})", file=sys.stderr)
     cfg = apply_overrides(Config(), overrides).validate()
 
     import jax
@@ -79,7 +93,8 @@ def main():
     from vosdetectron_tpu.models.generalized_rcnn import GeneralizedRCNN
     from vosdetectron_tpu.models.propagation import masked_embedding
 
-    eng = VOSEngine(cfg, params=params, rng=0, chunk=16)
+    eng = VOSEngine(cfg, params=params, rng=0, chunk=16,
+                    prop_params=prop_params)
     dev = jax.devices()[0]
 
     cat = DavisCatalog(davis_root)

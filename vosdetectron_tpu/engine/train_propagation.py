@@ -17,6 +17,7 @@ batches stay large and MXU-friendly.
 from __future__ import annotations
 
 import functools
+import sys
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -252,8 +253,12 @@ class PropagationTrainer:
             """Backprop THROUGH the rollout: scan the head over the whole
             sequence feeding its own sigmoid output forward, BCE at every
             step. Directly penalizes the compounding drift that pair
-            training cannot see. Masks are (K, mh, mw) so the scan's
-            residuals are tiny; no remat needed."""
+            training cannot see. The body is rematerialized: without it
+            the scan backward stores the head's conv activations —
+            O(T * K * mh * mw * hidden) ≈ several GB at 24 frames x 480p
+            track geometry (measured ResourceExhausted on the chip) —
+            while remat keeps only the (K, mh, mw) carry + per-step
+            inputs and recomputes the convs in the backward pass."""
             img, feat, masks, valid = seq          # (T,...), (T,K,mh,mw)
             inp = jax.vmap(
                 lambda i, f: head.apply({"params": params}, i,
@@ -261,6 +266,7 @@ class PropagationTrainer:
                                         method=type(self.head).frame_input)
             )(img, feat)
 
+            @jax.checkpoint
             def body(carry, xs):
                 prev_inp, cur_inp, gt = xs
                 logits = head.apply({"params": params}, prev_inp, cur_inp,
@@ -392,8 +398,13 @@ def evaluate_rollout(trainer: PropagationTrainer, seq) -> Dict[str, float]:
     img, feat, masks, valid = seq
     head = trainer.head
 
+    # img/feat/masks MUST be jit ARGUMENTS: closing over the device
+    # arrays bakes the whole full-resolution sequence into the program as
+    # constants, and at 480p x 24 frames the serialized HLO exceeds the
+    # remote-compile payload limit (observed: HTTP 413 on the axon
+    # tunnel) besides duplicating the sequence in HBM.
     @jax.jit
-    def roll(params):
+    def roll(params, img, feat, masks):
         inp = jax.vmap(
             lambda i, f: head.apply({"params": params}, i,
                                     f.astype(jnp.float32),
@@ -411,7 +422,7 @@ def evaluate_rollout(trainer: PropagationTrainer, seq) -> Dict[str, float]:
         _, preds = jax.lax.scan(body, masks[0], (inp[:-1], inp[1:]))
         return preds
 
-    preds = np.asarray(roll(trainer.head_params)) > 0.5
+    preds = np.asarray(roll(trainer.head_params, img, feat, masks)) > 0.5
     gt = np.asarray(masks[1:]) > 0.5
     v = np.asarray(valid).astype(bool)
 
@@ -508,6 +519,8 @@ def train_on_synthetic(cfg: Config, num_train_seqs: int = 24,
         loss = trainer.train_step(window(it), sub)
         if log_every and (it % log_every == 0 or it == steps - 1):
             history.append((it, loss))
+            print(f"[prop pair {it}/{steps}] loss={loss:.4f}",
+                  file=sys.stderr, flush=True)
     report = {}
     if unroll_steps:
         val_seq_b = build_sequence_batches(trainer, [val_seq])[0]
@@ -525,6 +538,8 @@ def train_on_synthetic(cfg: Config, num_train_seqs: int = 24,
             if log_every and (it % log_every == 0
                               or it == unroll_steps - 1):
                 history.append((steps + it, loss))
+                print(f"[prop unroll {it}/{unroll_steps}] loss={loss:.4f}",
+                      file=sys.stderr, flush=True)
         report.update(evaluate_rollout(trainer, val_seq_b))
     final = trainer.evaluate_pairs(val_batch)
     report.update({
