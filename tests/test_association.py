@@ -63,7 +63,10 @@ def test_weak_detection_below_floor_keeps_propagated_mask():
     np.testing.assert_allclose(np.asarray(out.masks[0]), np.asarray(prop),
                                atol=1e-6)
     assert int(out.miss[0]) == 0  # the match still resets miss
-    assert float(out.score[0]) > 0.8  # weak det must not collapse score
+    # weak det must not collapse the score outright; with the blend fully
+    # floor-gated (w=0) the track counts as unsupported this frame and
+    # decays at score_decay_unsupported, no faster
+    assert float(out.score[0]) >= 0.9 * cfg.vos.score_decay_unsupported - 1e-6
 
 
 def test_weak_detection_blends_mostly_propagated():
@@ -307,3 +310,210 @@ def test_unsupervised_tracks_retire_after_miss_tolerance():
         st = associate_and_update(cfg, st, masks, emb, scores, valid,
                                   propagated=st.masks)
     assert not bool(st.alive[0])
+
+
+def test_rescue_steals_detection_from_drifted_claimer():
+    """Claim starvation (measured on heldout_1003): a drifted track parks
+    on ANOTHER object and keeps claiming its detection every frame, so
+    the true owner's rescue never sees a free candidate. A lost track
+    whose ANCHOR similarity to the claimed det beats the claimer's by
+    rescue_steal_margin must take it; the claimer's update is cancelled
+    (it reverts to its propagated mask)."""
+    cfg = make_cfg(assoc_det_floor=0.0, assoc_agreement_gate=(0.0, 0.0))
+    st = _rescue_setup(cfg)
+    mh, mw = cfg.vos.track_mask_size
+    d = cfg.vos.max_dets_per_frame
+    # one det, sitting exactly where healthy track 1's mask is -> track 1
+    # claims it through the normal match (high IoU with its propagated)
+    det0 = square_mask(cfg, 4, 12)
+    dm = jnp.zeros((d, mh, mw)).at[0].set(det0)
+    # ...but by ANCHOR similarity the det is track 0's object, clearly
+    de = jnp.zeros((d, 8)).at[0, 0].set(0.9).at[0, 1].set(0.436)
+    ds = jnp.zeros((d,)).at[0].set(0.95)
+    dv = jnp.zeros((d,), bool).at[0].set(True)
+    out = associate_and_update(cfg, st, dm, de, ds, dv, st.masks)
+    # lost track 0 stole the det
+    np.testing.assert_allclose(np.asarray(out.masks[0]), np.asarray(det0),
+                               atol=1e-6)
+    # the claimer reverted to its propagated mask (no shared det mask)
+    np.testing.assert_allclose(np.asarray(out.masks[1]),
+                               np.asarray(st.masks[1]), atol=1e-6)
+    # and pays the unsupported decay for the frame
+    assert float(out.score[1]) <= 0.9 * cfg.vos.score_decay_unsupported + 1e-6
+
+
+def test_rescue_steal_respects_margin():
+    """When the claimer's anchor similarity is comparable (within the
+    steal margin), the claim stands — identical-looking objects must not
+    swap dets."""
+    cfg = make_cfg(assoc_det_floor=0.0, assoc_agreement_gate=(0.0, 0.0))
+    st = _rescue_setup(cfg)
+    mh, mw = cfg.vos.track_mask_size
+    d = cfg.vos.max_dets_per_frame
+    det0 = square_mask(cfg, 4, 12)
+    dm = jnp.zeros((d, mh, mw)).at[0].set(det0)
+    de = jnp.zeros((d, 8)).at[0, 0].set(0.707).at[0, 1].set(0.707)
+    ds = jnp.zeros((d,)).at[0].set(0.95)
+    dv = jnp.zeros((d,), bool).at[0].set(True)
+    out = associate_and_update(cfg, st, dm, de, ds, dv, st.masks)
+    np.testing.assert_allclose(np.asarray(out.masks[0]),
+                               np.asarray(st.masks[0]), atol=1e-6)
+
+
+def _jump_inputs(cfg):
+    mh, mw = cfg.vos.track_mask_size
+    d = cfg.vos.max_dets_per_frame
+    wrong = jnp.zeros((mh, mw)).at[0:4, 0:4].set(1.0)   # = track 0's mask
+    right = jnp.zeros((mh, mw)).at[8:14, 16:22].set(1.0)
+    dm = jnp.zeros((d, mh, mw)).at[0].set(wrong).at[1].set(right)
+    # det 0 (the wrong object) matches track 0's anchor weakly; det 1
+    # (free, disjoint from det 0) matches it far better
+    de = jnp.zeros((d, 8)).at[0, 0].set(0.5).at[1, 0].set(0.98)
+    ds = jnp.zeros((d,)).at[0].set(0.9).at[1].set(0.9)
+    dv = jnp.zeros((d,), bool).at[0].set(True).at[1].set(True)
+    return right, dm, de, ds, dv
+
+
+def test_rescue_jump_from_wrong_object_lock():
+    """Anchor jump (measured on heldout_1007): a track matched to the
+    WRONG object with a healthy score must jump to a free confident det
+    that matches its anchor embedding better by rescue_jump_margin —
+    after the condition persists rescue_jump_patience frames."""
+    cfg = make_cfg(assoc_det_floor=0.0, assoc_agreement_gate=(0.0, 0.0))
+    st = _rescue_setup(cfg)
+    # track 0 is CONFIDENT but sitting on the wrong object
+    st = st._replace(score=st.score.at[0].set(0.95))
+    right, dm, de, ds, dv = _jump_inputs(cfg)
+    for i in range(cfg.vos.rescue_jump_patience):
+        # within patience the track must NOT have moved to `right`
+        assert float(jnp.minimum(st.masks[0], right).sum()) < 1.0, i
+        st = associate_and_update(cfg, st, dm, de, ds, dv, st.masks)
+        st = st._replace(score=st.score.at[0].set(0.95))
+    np.testing.assert_allclose(np.asarray(st.masks[0]), np.asarray(right),
+                               atol=1e-6)
+
+
+def test_rescue_jump_patience_resets_on_jitter():
+    """One qualifying frame followed by a clean frame must reset the
+    drift counter — sim jitter between lookalike dets never jumps."""
+    cfg = make_cfg(assoc_det_floor=0.0, assoc_agreement_gate=(0.0, 0.0))
+    st = _rescue_setup(cfg)
+    st = st._replace(score=st.score.at[0].set(0.95))
+    right, dm, de, ds, dv = _jump_inputs(cfg)
+    de_clean = de.at[1, 0].set(0.0)  # free det stops looking like anchor
+    pat = cfg.vos.rescue_jump_patience
+    for i in range(3 * pat):
+        use = de if i % 2 == 0 else de_clean  # condition never persists
+        st = associate_and_update(cfg, st, dm, use, ds, dv, st.masks)
+        st = st._replace(score=st.score.at[0].set(0.95))
+        assert float(jnp.minimum(st.masks[0], right).sum()) < 1.0, i
+
+
+def test_rescue_jump_disabled_keeps_lock():
+    cfg = make_cfg(assoc_det_floor=0.0, assoc_agreement_gate=(0.0, 0.0),
+                   rescue_jump=False)
+    st = _rescue_setup(cfg)
+    st = st._replace(score=st.score.at[0].set(0.95))
+    right, dm, de, ds, dv = _jump_inputs(cfg)
+    for _ in range(2 * cfg.vos.rescue_jump_patience):
+        st = associate_and_update(cfg, st, dm, de, ds, dv, st.masks)
+        st = st._replace(score=st.score.at[0].set(0.95))
+    # stays blended around the wrong object's det; never adopts `right`
+    iou_right = float((jnp.minimum(st.masks[0], right).sum()
+                       / jnp.maximum(st.masks[0], right).sum()))
+    assert iou_right < 0.5
+
+
+def test_rescue_jump_same_object_duplicate_never_jumps():
+    """A free near-duplicate det of the SAME object (high overlap with
+    the matched det) must never trigger a jump, no matter how its anchor
+    similarity jitters."""
+    cfg = make_cfg(assoc_det_floor=0.0, assoc_agreement_gate=(0.0, 0.0))
+    st = _rescue_setup(cfg)
+    st = st._replace(score=st.score.at[0].set(0.95))
+    mh, mw = cfg.vos.track_mask_size
+    d = cfg.vos.max_dets_per_frame
+    obj = jnp.zeros((mh, mw)).at[0:4, 0:4].set(1.0)     # = track 0's mask
+    dup = jnp.zeros((mh, mw)).at[0:4, 1:5].set(1.0)     # shifted duplicate
+    dm = jnp.zeros((d, mh, mw)).at[0].set(obj).at[1].set(dup)
+    de = jnp.zeros((d, 8)).at[0, 0].set(0.8).at[1, 0].set(0.99)
+    ds = jnp.zeros((d,)).at[0].set(0.9).at[1].set(0.9)
+    dv = jnp.zeros((d,), bool).at[0].set(True).at[1].set(True)
+    for _ in range(3 * cfg.vos.rescue_jump_patience):
+        out = associate_and_update(cfg, st, dm, de, ds, dv, st.masks)
+        assert int(out.drift[0]) == 0  # overlap guard keeps it disarmed
+        st = out._replace(score=out.score.at[0].set(0.95))
+
+
+def test_post_rescue_trust_window_bypasses_agreement_gate():
+    """After a rescue the track's miss is negative (trust window): a
+    matched CONTRADICTING det must still re-anchor it, because the
+    propagation it disagrees with is exactly what just failed."""
+    cfg = make_cfg(assoc_det_floor=0.0)
+    mask = square_mask(cfg, 8, 16)
+    st = seeded_state(cfg, mask, score=0.9)
+    st = st._replace(miss=st.miss.at[0].set(-4))
+    det = jnp.zeros_like(mask).at[0:4, 0:6].set(1.0)  # zero IoU with prop
+    dm, de, ds, dv = det_inputs(cfg, det, score=0.95)
+    out = associate_and_update(cfg, st, dm, de, ds, dv, st.masks)
+    # outside a trust window this det is fully gated (agreement ~ 0);
+    # inside, it blends at the confidence weight
+    assert float(jnp.abs(out.masks[0] - mask).max()) > 0.3
+    assert int(out.miss[0]) == -3  # window counts up toward 0
+
+
+def test_unsupported_decay_arms_rescue_faster():
+    """A track with no effective det support decays at
+    score_decay_unsupported per frame (not score_decay)."""
+    cfg = make_cfg()
+    mask = square_mask(cfg, 8, 16)
+    st = seeded_state(cfg, mask, score=1.0)
+    masks, emb, scores, _ = det_inputs(cfg, jnp.zeros_like(mask), 0.0)
+    valid = jnp.zeros_like(scores, bool)
+    for _ in range(3):
+        st = associate_and_update(cfg, st, masks, emb, scores, valid,
+                                  propagated=st.masks)
+    np.testing.assert_allclose(
+        float(st.score[0]), cfg.vos.score_decay_unsupported ** 3, atol=1e-5)
+
+
+def test_rescue_territory_guard_blocks_duplicate_of_healthy_object():
+    """A lost track whose own object is occluded must NOT re-anchor onto
+    an unclaimed DUPLICATE detection of a healthy track's object — the
+    lone wrong candidate passes margin tests trivially (second-best is
+    -inf), so territory is the only effective defense."""
+    cfg = make_cfg()
+    st = _rescue_setup(cfg)  # slot 0 lost, slot 1 healthy on square(4,12)
+    mh, mw = cfg.vos.track_mask_size
+    d = cfg.vos.max_dets_per_frame
+    # det 0: slot 1's own det (exact overlap — greedy matches it);
+    # det 1: an UNCLAIMED duplicate of the same object whose embedding
+    # best-matches LOST track 0's anchor
+    own = square_mask(cfg, 4, 12)
+    dup = square_mask(cfg, 5, 13)
+    dm = jnp.zeros((d, mh, mw)).at[0].set(own).at[1].set(dup)
+    de = jnp.zeros((d, 8)).at[0, 1].set(1.0).at[1, 0].set(1.0)
+    ds = jnp.zeros((d,)).at[0].set(0.95).at[1].set(0.95)
+    dv = jnp.zeros((d,), bool).at[0].set(True).at[1].set(True)
+    out = associate_and_update(cfg, st, dm, de, ds, dv, st.masks)
+    # stays lost rather than grabbing the healthy object's duplicate
+    np.testing.assert_allclose(np.asarray(out.masks[0]),
+                               np.asarray(st.masks[0]), atol=1e-6)
+
+
+def test_rescue_free_det_outside_healthy_territory_still_rescues():
+    """The territory guard must not block legitimate rescues: a free det
+    in UNEXPLAINED territory (no healthy track's propagated mask there)
+    re-anchors the lost track as before."""
+    cfg = make_cfg()
+    st = _rescue_setup(cfg)
+    mh, mw = cfg.vos.track_mask_size
+    d = cfg.vos.max_dets_per_frame
+    det0 = jnp.zeros((mh, mw)).at[8:14, 16:22].set(1.0)  # empty territory
+    dm = jnp.zeros((d, mh, mw)).at[0].set(det0)
+    de = jnp.zeros((d, 8)).at[0, 0].set(1.0)
+    ds = jnp.zeros((d,)).at[0].set(0.9)
+    dv = jnp.zeros((d,), bool).at[0].set(True)
+    out = associate_and_update(cfg, st, dm, de, ds, dv, st.masks)
+    np.testing.assert_allclose(np.asarray(out.masks[0]), np.asarray(det0),
+                               atol=1e-6)

@@ -315,9 +315,63 @@ class VOSCfg:
     rescue_det_conf: float = 0.6    # min detection score to re-anchor from
     rescue_sim: float = 0.5         # min anchor-embedding cosine (in [0,1])
     rescue_margin: float = 0.02     # margin over the 2nd-best candidate
+    # Claim stealing: a drifted track that parked on ANOTHER object keeps
+    # claiming that object's detection every frame, starving the true
+    # owner's rescue forever (measured on heldout_1003: 9 frames of
+    # n_free=0 while the lost track's own det sat claimed by the drifted
+    # one, then rescue grabbed the only-free WRONG det -> full identity
+    # swap). Fix: a lost track may take a CLAIMED detection when its
+    # anchor-embedding similarity to it beats the claimer's by this
+    # margin; the claimer's mask update for the frame is cancelled (it
+    # keeps propagating).
+    rescue_steal: bool = True
+    rescue_steal_margin: float = 0.02
+    # Territory guard on the FREE rescue path: candidates overlapping a
+    # healthy track's propagated mask above this IoU are that track's
+    # object (or an unclaimed duplicate detection of it) — re-anchoring
+    # a lost track there during its occlusion manufactures an identity
+    # swap (a lone wrong candidate passes every margin test when the
+    # true object is invisible). Staying lost is cheaper than guessing.
+    rescue_territory_iou: float = 0.45
+    # Anchor jump: arm rescue for a track whose matched det is anchor-
+    # WORSE (by this margin) than some free confident det — the drifted-
+    # onto-wrong-object / false-positive-lock failure, where the track's
+    # score stays healthy and score-based arming never fires. DEFAULT
+    # OFF: measured on the r4 held-out set, the anchor embedding (masked-
+    # average FPN features) is not discriminative enough to move HEALTHY
+    # tracks on — the jump traded +0.08 J&F on heldout_1007 (a true
+    # false-positive lock) for -0.08 on heldout_1003 (healthy tracks
+    # jumping to lookalike free dets), even with the patience and same-
+    # object guards. Enable per-run for content with distinctive object
+    # appearance.
+    rescue_jump: bool = False
+    rescue_jump_margin: float = 0.03
+    # The jump condition must hold this many CONSECUTIVE frames before a
+    # jump fires (one-frame anchor-sim jitter between lookalike dets must
+    # not move a healthy track; a wrong-object lock persists for dozens
+    # of frames) ...
+    rescue_jump_patience: int = 3
+    # ... and the jump target must NOT overlap the currently-matched det
+    # (a near-duplicate detection of the same object is not a different
+    # object, however its anchor similarity jitters).
+    rescue_jump_max_overlap: float = 0.3
+    # Post-rescue trust window: for this many frames after a re-anchor
+    # the agreement gate is bypassed for the rescued track (its matched
+    # det re-anchors outright). A rescue lands on a track whose
+    # propagation just failed for this object — gating its recovery on
+    # agreement with that same propagation re-loses it within ~5 frames
+    # (measured on heldout_1007 obj1: rescue at f47, J 0.60 -> 0.07 by
+    # f52 with every det blocked by the gate).
+    rescue_trust_frames: int = 8
     max_spawn: int = 4       # new tracks per frame (unsupervised mode)
     emb_ema: float = 0.7     # appearance-embedding EMA keep fraction
     score_decay: float = 0.95  # per-frame track-score decay when unmatched
+    # Faster decay when the track has NO effective detection support this
+    # frame (unmatched, or matched with the blend fully gated off) — the
+    # drift signature. Arms rescue in ~4-6 frames instead of 11+ (score
+    # 0.95^n vs 0.88^n past rescue_track_conf), cutting the dead window
+    # an object spends lost before re-identification can even try.
+    score_decay_unsupported: float = 0.88
     # Track state masks kept at low resolution for the scan carry.
     track_mask_size: Tuple[int, int] = (120, 216)
     emb_dim: int = 128

@@ -665,7 +665,8 @@ class VOSEngine:
             masks=gt_masks_lr, emb=emb, alive=alive,
             miss=jnp.zeros_like(obj_ids),
             score=jnp.where(alive, 1.0, 0.0).astype(jnp.float32),
-            obj_id=obj_ids, pfeat=pfeat, emb0=emb)
+            obj_id=obj_ids, pfeat=pfeat, emb0=emb,
+            drift=jnp.zeros_like(obj_ids))
 
     # -------------------------------------------------------------- host side
 

@@ -49,6 +49,11 @@ class TrackState(NamedTuple):
     # rescue stage matches against (state.emb can be polluted by frames
     # of wrong-match EMA once a track has drifted).
     emb0: Optional[jnp.ndarray] = None
+    # Consecutive frames the anchor-jump arming condition has held (see
+    # config.rescue_jump_patience) — one-frame anchor-similarity jitter
+    # between near-duplicate detections must not re-anchor a healthy
+    # track; a wrong-object lock holds the condition for many frames.
+    drift: Optional[jnp.ndarray] = None
 
 
 def empty_track_state(cfg: Config, emb_dim: int,
@@ -64,6 +69,7 @@ def empty_track_state(cfg: Config, emb_dim: int,
         obj_id=jnp.zeros((k,), jnp.int32),
         pfeat=pfeat,
         emb0=jnp.zeros((k, emb_dim), jnp.float32),
+        drift=jnp.zeros((k,), jnp.int32),
     )
 
 
@@ -371,11 +377,18 @@ def init_propagation_params(cfg: Config, head: PropagationHead, key,
 def associate_and_update(cfg: Config, state: TrackState,
                          det_masks_lr: jnp.ndarray, det_emb: jnp.ndarray,
                          det_scores: jnp.ndarray, det_valid: jnp.ndarray,
-                         propagated: jnp.ndarray) -> TrackState:
+                         propagated: jnp.ndarray,
+                         return_diag: bool = False) -> TrackState:
     """One association step: match detections to tracks, update state.
 
     det_masks_lr: (D, mh, mw) soft masks at track resolution.
+
+    With ``return_diag=True`` also returns a dict of per-slot association
+    internals (matched index, blend weight, rescue gates) — used by
+    tools/diag_assoc.py to attribute quality failures; never set in the
+    production scan, so the traced program is unchanged.
     """
+    diag = {}
     v = cfg.vos
     iou = soft_mask_iou(propagated, det_masks_lr)          # (K, D)
     sim = (state.emb @ det_emb.T + 1.0) * 0.5              # (K, D) in [0,1]
@@ -405,6 +418,12 @@ def associate_and_update(cfg: Config, state: TrackState,
         lo, hi = v.assoc_agreement_gate
         q = iou[jnp.arange(iou.shape[0]), midx]
         agree = jnp.clip((q - lo) / max(hi - lo, 1e-6), 0.0, 1.0)
+        # Post-rescue trust window (negative miss counts it down): a just-
+        # rescued track's propagation is exactly what failed for this
+        # object, so gating detections on agreement with it re-loses the
+        # object within frames; trust the matched det outright until the
+        # window expires.
+        agree = jnp.where(state.miss < 0, 1.0, agree)
         w_det = w_det * agree
         w = jnp.where(matched, w_det, 0.0)
         new_masks = (w[:, None, None] * det_masks_lr[midx]
@@ -421,16 +440,24 @@ def associate_and_update(cfg: Config, state: TrackState,
     cand = cand / jnp.maximum(jnp.linalg.norm(cand, axis=-1, keepdims=True),
                               1e-6)
     new_emb = jnp.where(matched[:, None], cand, state.emb)
-    new_miss = jnp.where(matched, 0, state.miss + state.alive.astype(
-        jnp.int32))
+    ticked = state.miss + state.alive.astype(jnp.int32)
+    # negative miss = post-rescue trust window, counts up toward 0
+    new_miss = jnp.where(state.miss < 0, state.miss + 1,
+                         jnp.where(matched, 0, ticked))
     # Matched: a strong agreeing detection can raise the track score, but
     # a weak or contradicting one must not collapse it (the old
     # `new_score = det_score` let one bad frame reset a long track).
+    # A track with no EFFECTIVE det support this frame (unmatched, or the
+    # blend fully gated off) decays at the faster unsupported rate so the
+    # rescue stage arms within frames of a drift, not a dozen.
+    decay = jnp.where(matched & (w > 0.1), v.score_decay,
+                      v.score_decay_unsupported)
     new_score = jnp.where(
         matched,
         jnp.maximum(jnp.where(w > 0, det_scores[midx], 0.0),
-                    state.score * v.score_decay),
-        state.score * v.score_decay)
+                    state.score * decay),
+        state.score * decay)
+    drift_out = state.drift
 
     if v.assoc_rescue:
         # Drift rescue (re-identification). Once a track has drifted, its
@@ -447,13 +474,86 @@ def associate_and_update(cfg: Config, state: TrackState,
         k, d = score.shape
         anchor = state.emb0 if state.emb0 is not None else state.emb
         sim0 = (anchor @ det_emb.T + 1.0) * 0.5            # (K, D)
-        lost = state.alive & (state.score < v.rescue_track_conf) \
-            & ~(matched & (w > 0.1))
         claimed = jnp.zeros((d,)).at[midx].max(
             jnp.where(matched & (w > 0.1), 1.0, 0.0)) > 0.5
-        free = det_valid & (det_scores >= v.rescue_det_conf) & ~claimed
+        elig = det_valid & (det_scores >= v.rescue_det_conf)
         neg = -jnp.inf
-        s = jnp.where(lost[:, None] & free[None, :], sim0, neg)
+        lost = state.alive & (state.score < v.rescue_track_conf) \
+            & ~(matched & (w > 0.1))
+        # Territory guard (measured on heldout_1003 f14): while a lost
+        # track's true object is OCCLUDED, the only rescue candidates are
+        # other objects' detections — and a lone wrong candidate passes
+        # every margin test trivially (second-best is -inf). A free det
+        # that substantially overlaps a HEALTHY track's propagated mask
+        # is that track's object (or an unclaimed duplicate detection of
+        # it); re-anchoring there manufactures an identity error, which
+        # costs two objects. Such dets are excluded from the FREE rescue
+        # path — staying lost is cheaper than guessing. (The steal path
+        # is exempt: a stolen det inherently overlaps its claimer's
+        # propagated mask; anchor-margin arbitration governs it.)
+        healthy = state.alive & ~lost
+        occ = jnp.max(jnp.where(healthy[:, None], iou, 0.0), axis=0)
+        free = elig & ~claimed & (occ < v.rescue_territory_iou)
+        if v.rescue_jump:
+            # Anchor jump: a track can drift onto the WRONG object (or a
+            # confident false positive) and keep re-anchoring there with a
+            # HEALTHY score — score-based arming never fires (measured on
+            # heldout_1007 obj1: 15 straight frames with the true object's
+            # det free and confident while the track sat matched elsewhere
+            # at score ~0.9). Arm rescue-eligibility additionally when
+            # some FREE confident det matches the track's anchor embedding
+            # better than its currently-matched det does, by a margin
+            # (absolute anchor similarities don't discriminate — ReLU-
+            # feature cosines are uniformly high — margins do).
+            # Two guards, both load-bearing (measured on heldout_1003,
+            # where the unguarded jump broke HEALTHY tracks from frame 1):
+            #   * same-object guard — no jump to a target that overlaps
+            #     the currently-matched det (a near-duplicate detection of
+            #     the same object whose anchor sim jitters higher would
+            #     otherwise swap a good propagated mask for a mediocre det
+            #     mask);
+            #   * patience — the condition must hold rescue_jump_patience
+            #     consecutive frames (TrackState.drift counts them); one-
+            #     frame sim jitter between lookalike dets is noise, a
+            #     wrong-object lock holds for dozens of frames.
+            # Skipped inside the post-rescue trust window (miss < 0) to
+            # prevent oscillation.
+            sfree = jnp.where(free[None, :], sim0, neg)
+            bv_free = jnp.max(sfree, axis=1)
+            bj_free = jnp.argmax(sfree, axis=1)
+            cur_sim = jnp.where(matched & (w > 0.1),
+                                sim0[jnp.arange(k), midx], neg)
+            tgt = det_masks_lr[bj_free]                      # (K, mh, mw)
+            cur = det_masks_lr[midx]
+            inter = jnp.minimum(tgt, cur).sum(axis=(1, 2))
+            union = jnp.maximum(tgt, cur).sum(axis=(1, 2))
+            pair_iou = jnp.where(union > 0,
+                                 inter / jnp.maximum(union, 1e-6), 0.0)
+            armed = state.alive & matched & (w > 0.1) \
+                & (state.miss >= 0) \
+                & jnp.isfinite(bv_free) \
+                & (bv_free >= v.rescue_sim) \
+                & (bv_free - cur_sim >= v.rescue_jump_margin) \
+                & (pair_iou < v.rescue_jump_max_overlap)
+            d0 = (state.drift if state.drift is not None
+                  else jnp.zeros_like(state.miss))
+            drift_out = jnp.where(armed, d0 + 1, 0)
+            misanchored = armed & (drift_out >= v.rescue_jump_patience)
+            lost = lost | misanchored
+        rcand = lost[:, None] & free[None, :]
+        if v.rescue_steal:
+            # A lost track may also take a CLAIMED detection when its
+            # anchor similarity to it beats the CLAIMER's anchor
+            # similarity by a margin — the drifted-claimer starvation
+            # fix (see config.rescue_steal). The claimer's update is
+            # cancelled below if the steal goes through.
+            claim_sim = sim0[jnp.arange(k), midx]          # (K,)
+            claimer_sim = jnp.zeros((d,)).at[midx].max(
+                jnp.where(matched & (w > 0.1), claim_sim, neg))
+            stealable = (elig & claimed)[None, :] \
+                & (sim0 > claimer_sim[None, :] + v.rescue_steal_margin)
+            rcand = rcand | (lost[:, None] & stealable)
+        s = jnp.where(rcand, sim0, neg)
         bj = jnp.argmax(s, axis=1)                         # (K,)
         bv = jnp.max(s, axis=1)
         second = jnp.max(jnp.where(jnp.arange(d)[None, :] == bj[:, None],
@@ -469,13 +569,42 @@ def associate_and_update(cfg: Config, state: TrackState,
         rescue = lost & jnp.isfinite(bv) & (bv >= v.rescue_sim) \
             & (bv - second >= v.rescue_margin) \
             & (bv - col_second >= v.rescue_margin) & mutual
+        if return_diag:
+            diag.update(lost=lost, rescued=rescue, rescue_det=bj,
+                        rescue_sim=bv,
+                        rescue_row_margin=bv - second,
+                        rescue_col_margin=bv - col_second,
+                        rescue_mutual=mutual,
+                        free=free, claimed=claimed)
         new_masks = jnp.where(rescue[:, None, None],
                               det_masks_lr[bj], new_masks)
         # Reset the working embedding to the re-anchoring detection's —
         # the current one carries frames of drift pollution.
         new_emb = jnp.where(rescue[:, None], det_emb[bj], new_emb)
-        new_miss = jnp.where(rescue, 0, new_miss)
+        # negative miss opens the post-rescue trust window (see the
+        # agreement-gate bypass above)
+        new_miss = jnp.where(rescue, -v.rescue_trust_frames, new_miss)
         new_score = jnp.where(rescue, det_scores[bj], new_score)
+        if drift_out is not None:
+            drift_out = jnp.where(rescue, 0, drift_out)
+        if v.rescue_steal:
+            # Cancel the claimer's update for any detection a rescue
+            # stole: its mask/embedding/score revert to the propagated-
+            # only outcome (two tracks must not share one det's mask).
+            stolen = (jnp.zeros((d,)).at[bj].max(
+                jnp.where(rescue, 1.0, 0.0)) > 0.5) & claimed
+            victim = matched & (w > 0.1) & stolen[midx]
+            new_masks = jnp.where(victim[:, None, None], propagated,
+                                  new_masks)
+            new_emb = jnp.where(victim[:, None], state.emb, new_emb)
+            new_miss = jnp.where(victim,
+                                 jnp.where(state.miss < 0,
+                                           state.miss + 1, ticked),
+                                 new_miss)
+            new_score = jnp.where(
+                victim, state.score * v.score_decay_unsupported, new_score)
+            if return_diag:
+                diag.update(victim=victim)
     # Retirement is an UNSUPERVISED-mode concept (reference: spawn/retire
     # of discovered tracks). Under the DAVIS semi-supervised protocol the
     # object set is fixed at frame 0 and a retired track can never return
@@ -490,11 +619,16 @@ def associate_and_update(cfg: Config, state: TrackState,
         alive = state.alive & (new_miss <= v.miss_tolerance)
 
     state = TrackState(new_masks, new_emb, alive, new_miss, new_score,
-                       state.obj_id, state.pfeat, state.emb0)
+                       state.obj_id, state.pfeat, state.emb0, drift_out)
 
     if not v.semi_supervised:
         state = _spawn_tracks(cfg, state, det_masks_lr, det_emb, det_scores,
                               det_valid & ~det_taken)
+    if return_diag:
+        diag.update(matched=matched, midx=midx, w=w,
+                    iou_matched=iou[jnp.arange(iou.shape[0]), midx],
+                    score_after=state.score, miss_after=state.miss)
+        return state, diag
     return state
 
 
@@ -529,6 +663,8 @@ def _spawn_tracks(cfg: Config, state: TrackState, det_masks_lr, det_emb,
             pfeat=st.pfeat,
             emb0=None if st.emb0 is None else jnp.where(
                 ok, st.emb0.at[free].set(det_emb[j]), st.emb0),
+            drift=None if st.drift is None else jnp.where(
+                ok, st.drift.at[free].set(0), st.drift),
         )
         cand = cand.at[j].set(-jnp.inf)
         return st, cand
