@@ -378,8 +378,13 @@ def test_rescue_jump_from_wrong_object_lock():
     """Anchor jump (measured on heldout_1007): a track matched to the
     WRONG object with a healthy score must jump to a free confident det
     that matches its anchor embedding better by rescue_jump_margin —
-    after the condition persists rescue_jump_patience frames."""
-    cfg = make_cfg(assoc_det_floor=0.0, assoc_agreement_gate=(0.0, 0.0))
+    after the condition persists rescue_jump_patience frames.
+
+    rescue_jump ships default-OFF (measured-and-rejected for the bench
+    config — see ROUND5_STATUS); the behavior stays tested under an
+    explicit opt-in so the guard logic can't rot."""
+    cfg = make_cfg(assoc_det_floor=0.0, assoc_agreement_gate=(0.0, 0.0),
+                   rescue_jump=True)
     st = _rescue_setup(cfg)
     # track 0 is CONFIDENT but sitting on the wrong object
     st = st._replace(score=st.score.at[0].set(0.95))
@@ -428,7 +433,8 @@ def test_rescue_jump_same_object_duplicate_never_jumps():
     """A free near-duplicate det of the SAME object (high overlap with
     the matched det) must never trigger a jump, no matter how its anchor
     similarity jitters."""
-    cfg = make_cfg(assoc_det_floor=0.0, assoc_agreement_gate=(0.0, 0.0))
+    cfg = make_cfg(assoc_det_floor=0.0, assoc_agreement_gate=(0.0, 0.0),
+                   rescue_jump=True)
     st = _rescue_setup(cfg)
     st = st._replace(score=st.score.at[0].set(0.95))
     mh, mw = cfg.vos.track_mask_size

