@@ -718,7 +718,7 @@ class VOSEngine:
         t, h0, w0, _ = frames.shape
         scale = self._output_scale(h0, w0)
 
-        device = jax.devices()[0]
+        device = jax.local_devices()[0]
         if first_frame_gt is not None:
             gt_lr, obj_ids = self._gt_to_track_masks(first_frame_gt, scale)
             state = self._init_state(self.params, jnp.asarray(frames[0]),
@@ -790,7 +790,7 @@ class VOSEngine:
         t = len(frame_paths)
         scale = self._output_scale(h0, w0)
 
-        device = jax.devices()[0]
+        device = jax.local_devices()[0]
         frame0 = read_image_bgr(frame_paths[0])
         if first_frame_gt is not None:
             gt_lr, obj_ids = self._gt_to_track_masks(first_frame_gt, scale)
@@ -928,7 +928,7 @@ class OnlineVOS:
         h0, w0, _ = frame_bgr.shape
         self._hw = (h0, w0)
         self._scale = eng._output_scale(h0, w0)
-        device = jax.devices()[0]
+        device = jax.local_devices()[0]
         if first_frame_gt is not None:
             gt_lr, obj_ids = eng._gt_to_track_masks(first_frame_gt,
                                                     self._scale)
@@ -968,7 +968,7 @@ class OnlineVOS:
                    and h0 % 2 == 0 and w0 % 2 == 0)
         buf = (_to_yuv420_packed(frame_bgr[None], cfg.vos.chroma_den)
                if use_yuv else np.ascontiguousarray(frame_bgr[None]))
-        buf = jax.device_put(buf, jax.devices()[0])
+        buf = jax.device_put(buf, jax.local_devices()[0])
         out_hw = self._out_hw()
         self._state, ids = eng._scan_chunk(
             eng.params, self._state, self._scale, out_hw, buf,
@@ -980,6 +980,26 @@ class OnlineVOS:
         nw = int(round(w0 * self._scale))
         m = idmap[:nh // den, :nw // den].astype(np.uint8)
         return cv2.resize(m, (w0, h0), interpolation=cv2.INTER_NEAREST)
+
+
+def _download_local_rows(arr) -> np.ndarray:
+    """Host copy of a leading-axis-sharded global array's LOCAL rows.
+
+    Single-process this is np.asarray. Multi-process, np.asarray of a
+    non-replicated global array is an error — and downloading every
+    host's rows would waste exactly the cross-host bandwidth the sharded
+    eval exists to avoid. Each process reads only its addressable shards
+    (deduped: replicated inner axes repeat row blocks) in row order,
+    which are its own input sequences' rows under shard_batch's
+    process-contiguous assembly."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    rows = {}
+    for sh in arr.addressable_shards:
+        start = sh.index[0].start or 0
+        if start not in rows:
+            rows[start] = np.asarray(sh.data)
+    return np.concatenate([rows[k] for k in sorted(rows)], axis=0)
 
 
 def run_sequences_sharded(engine: VOSEngine, frames: np.ndarray,
@@ -1002,7 +1022,16 @@ def run_sequences_sharded(engine: VOSEngine, frames: np.ndarray,
     per-chunk K alphabet is content-dependent per process. Id-map
     downloads nibble-pack under the same gate as run_sequence.
 
-    Returns per-sequence lists of (H0, W0) id maps.
+    Multi-PROCESS (jax.distributed): each process passes its LOCAL
+    sequences — shard_batch assembles the global batch from per-process
+    shards — and receives its local sequences' predictions back (each
+    host downloads only its own devices' rows; tests/_sharded_eval_worker
+    asserts cross-process parity). The nibble-pack gate is agreed
+    globally (AND over processes) so every process traces the same SPMD
+    program.
+
+    Returns per-sequence lists of (H0, W0) id maps (the caller's local
+    sequences, in order).
     """
     import cv2
 
@@ -1039,6 +1068,13 @@ def run_sequences_sharded(engine: VOSEngine, frames: np.ndarray,
                  and jax.process_count() == 1)
     src_hw = (h0, w0) if use_yuv else None
     pack = engine._pack_gate(first_gts, out_hw)
+    if jax.process_count() > 1:
+        # the gate is content-dependent (max id < 16 on THIS host's
+        # sequences); processes must agree or they trace different SPMD
+        # programs and the collective program hangs
+        from ..parallel.gather import allgather_object
+
+        pack = all(allgather_object(bool(pack)))
 
     use_shardmap = cfg.fast_rcnn.roi_xform_method == "roi_align_pallas"
     # engine.params are committed to ONE device (see __init__); a mesh
@@ -1048,9 +1084,20 @@ def run_sequences_sharded(engine: VOSEngine, frames: np.ndarray,
     from jax.sharding import PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
-    params = jax.device_put(engine.params, repl)
+
+    def _replicate(tree):
+        if jax.process_count() > 1:
+            # device->global-device transfers are cross-host here and the
+            # backend rejects them; hop through host instead. Every process
+            # holds identical params (identical init/checkpoint), so
+            # replicating each host's local copy is a consistent global
+            # array.
+            tree = jax.tree_util.tree_map(np.asarray, tree)
+        return jax.device_put(tree, repl)
+
+    params = _replicate(engine.params)
     prop_params = (None if engine.prop_params is None
-                   else jax.device_put(engine.prop_params, repl))
+                   else _replicate(engine.prop_params))
     up_bytes = 0
     with mesh:
         states = shard_batch(mesh, states)
@@ -1082,8 +1129,9 @@ def run_sequences_sharded(engine: VOSEngine, frames: np.ndarray,
                 if buf is None:
                     up_bytes += packed.nbytes
                     buf = shard_batch(mesh, packed)
-                base_dev = buf[:, -1]
-                prev_last = packed[:, -1]
+                if use_delta:  # chained-encode context for the next chunk
+                    base_dev = buf[:, -1]
+                    prev_last = packed[:, -1]
             else:
                 up_bytes += chunks[:, ci].nbytes
                 buf = shard_batch(mesh, jnp.asarray(chunks[:, ci]))
@@ -1095,7 +1143,7 @@ def run_sequences_sharded(engine: VOSEngine, frames: np.ndarray,
                 states, ids = engine._scan_chunk_multi(
                     params, states, scale, out_hw, buf,
                     prop_params, src_hw, pack)
-            all_ids.append(np.asarray(ids))
+            all_ids.append(_download_local_rows(ids))
     idmaps = np.concatenate(all_ids, axis=1)[:, :t]  # (S, T, oh, ow[/2])
     if pack:
         idmaps = _unpack_ids4(idmaps)

@@ -42,6 +42,37 @@ def _host_fingerprint() -> str:
     return hashlib.sha1(txt.encode()).hexdigest()[:12]
 
 
+def _repo_cache_root() -> str:
+    """Default cache root: the repo-local `zoo/xla_cache` when the package
+    runs from a source tree (three levels up from this file), else the
+    user cache dir. Repo-local matters for the benchmark artifact: the
+    driver runs bench.py in a FRESH environment where `~/.cache` is empty,
+    so cold remote-compiles of the whole program set (~10 min through the
+    tunnel) used to eat the bench deadline (BENCH_r04: warmup t+623s vs a
+    480s deadline). Committed cache entries ride along with the clone."""
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if os.path.isdir(os.path.join(repo, "zoo")):
+        return os.path.join(repo, "zoo", "xla_cache")
+    return os.path.expanduser("~/.cache/vosdetectron_xla")
+
+
+def cache_subdir(backend: str, device_kind: str) -> str:
+    """Per-platform cache subdirectory.
+
+    CPU entries are XLA:CPU AOT executables that embed the compile
+    machine's feature set and ABORT when loaded on a lesser host, so
+    they key on the host microarch fingerprint (never commit these).
+    Device-platform entries (tpu/axon) are device executables — host
+    CPU features are irrelevant — so they key on (backend, device kind)
+    and CAN be shipped with the repo and hit from any host driving the
+    same device class."""
+    if backend == "cpu":
+        return "cpu-" + _host_fingerprint()
+    kind = "".join(c if c.isalnum() else "_" for c in device_kind)
+    return f"{backend}-{kind}"
+
+
 def setup(cache_dir: str | None = None) -> None:
     """Idempotent process-level setup. Call before building engines."""
     global _DONE
@@ -50,8 +81,13 @@ def setup(cache_dir: str | None = None) -> None:
     import jax
 
     cache = cache_dir or os.environ.get(
-        "VOSDETECTRON_CACHE", os.path.expanduser("~/.cache/vosdetectron_xla"))
-    cache = os.path.join(cache, _host_fingerprint())
+        "VOSDETECTRON_CACHE", _repo_cache_root())
+    try:
+        backend = jax.default_backend()
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        backend, kind = "cpu", ""
+    cache = os.path.join(cache, cache_subdir(backend, kind))
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
