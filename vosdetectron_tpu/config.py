@@ -366,12 +366,19 @@ class VOSCfg:
     max_spawn: int = 4       # new tracks per frame (unsupervised mode)
     emb_ema: float = 0.7     # appearance-embedding EMA keep fraction
     score_decay: float = 0.95  # per-frame track-score decay when unmatched
-    # Faster decay when the track has NO effective detection support this
-    # frame (unmatched, or matched with the blend fully gated off) — the
-    # drift signature. Arms rescue in ~4-6 frames instead of 11+ (score
-    # 0.95^n vs 0.88^n past rescue_track_conf), cutting the dead window
-    # an object spends lost before re-identification can even try.
-    score_decay_unsupported: float = 0.88
+    # Optional faster decay when the track has NO effective detection
+    # support this frame (unmatched, or matched with the blend fully
+    # gated off). Values < score_decay arm rescue sooner (0.88: ~5 frames
+    # instead of 11+), which helped exactly one held-out sequence (1007's
+    # false-positive lock, +0.09) but collapsed four others (r5 ablation,
+    # 10-seq hardness-1.0 set: 0.88 -> mean 0.739, 0.92 -> 0.748,
+    # 0.95 -> 0.788) — a briefly-occluded or weakly-detected HEALTHY
+    # track hits the rescue threshold during the occlusion, and the
+    # premature rescue/steal re-anchors it onto the wrong object, which
+    # the trust window then cements. DEFAULT: equal to score_decay
+    # (feature off). Lower per-run for content with distinctive
+    # appearance where false locks dominate drift.
+    score_decay_unsupported: float = 0.95
     # Track state masks kept at low resolution for the scan carry.
     track_mask_size: Tuple[int, int] = (120, 216)
     emb_dim: int = 128
