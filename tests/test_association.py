@@ -197,11 +197,16 @@ def _rescue_setup(cfg, n_lost=1):
 
 
 def test_rescue_reanchors_drifted_track():
-    """A lost track (decayed score, zero IoU with every det) must be
+    """A lost track (decayed score, zero IoU with every det, working
+    embedding drift-polluted so the greedy match declines) must be
     re-anchored outright to a confident unclaimed detection that is its
-    unambiguous anchor-embedding match."""
+    unambiguous ANCHOR-embedding match (emb0, not the polluted emb)."""
     cfg = make_cfg()
     st = _rescue_setup(cfg)
+    # Drift pollution: the working embedding no longer resembles the
+    # anchor (anti-aligned with the det -> cosine -1 -> assoc score 0,
+    # below the match threshold). emb0 stays the frozen birth anchor.
+    st = st._replace(emb=st.emb.at[0, 0].set(-1.0))
     mh, mw = cfg.vos.track_mask_size
     d = cfg.vos.max_dets_per_frame
     det0 = jnp.zeros((mh, mw)).at[8:14, 16:22].set(1.0)  # where obj 1 really is
@@ -516,6 +521,9 @@ def test_rescue_free_det_outside_healthy_territory_still_rescues():
     re-anchors the lost track as before."""
     cfg = make_cfg()
     st = _rescue_setup(cfg)
+    # pollute the working emb so the greedy match declines and the HARD
+    # rescue path (not the conf-relax blend) is what re-anchors
+    st = st._replace(emb=st.emb.at[0, 0].set(-1.0))
     mh, mw = cfg.vos.track_mask_size
     d = cfg.vos.max_dets_per_frame
     det0 = jnp.zeros((mh, mw)).at[8:14, 16:22].set(1.0)  # empty territory
@@ -526,3 +534,74 @@ def test_rescue_free_det_outside_healthy_territory_still_rescues():
     out = associate_and_update(cfg, st, dm, de, ds, dv, st.masks)
     np.testing.assert_allclose(np.asarray(out.masks[0]), np.asarray(det0),
                                atol=1e-6)
+
+
+def test_refresh_ramp_starved_match_decays():
+    """A matched detection whose blend weight was gated to ~0 must NOT
+    refresh the track score to the det's (the wrong-object-lock
+    signature, heldout_1007 obj1: w flickering at 0.04-0.2 kept a
+    drifted track 'healthy' for 34 frames). Below the ramp's lo the
+    score decays exactly as unmatched."""
+    cfg = make_cfg(assoc_conf_relax=False)
+    prop = square_mask(cfg, 4, 12)
+    det = square_mask(cfg, 10, 18)   # IoU ~0.14: agreement-gated off
+    st = seeded_state(cfg, prop, score=0.8)
+    dm, de, ds, dv = det_inputs(cfg, det, score=1.0)
+    out = associate_and_update(cfg, st, dm, de, ds, dv, st.masks)
+    assert bool(out.alive[0])
+    # gated blend -> w below ramp lo -> decay, not refresh-to-1.0
+    assert float(out.score[0]) <= 0.8 * cfg.vos.score_decay + 1e-6
+
+
+def test_refresh_ramp_strong_match_still_refreshes():
+    """A strongly-agreeing confident match (w above the ramp's hi)
+    refreshes the score to the full det score, as before."""
+    cfg = make_cfg()
+    prop = square_mask(cfg, 4, 12)
+    st = seeded_state(cfg, prop, score=0.4)  # decayed
+    dm, de, ds, dv = det_inputs(cfg, prop, score=0.95)  # perfect agree
+    out = associate_and_update(cfg, st, dm, de, ds, dv, st.masks)
+    assert float(out.score[0]) >= 0.95 - 1e-6
+
+
+def test_conf_relax_adopts_confident_anchor_consistent_det():
+    """Soft rescue through the match path (heldout_1004 obj3): a DECAYED
+    track matched to a confident det that is its best anchor candidate
+    has the agreement gate relaxed — the det mask dominates the update
+    even though det-vs-prop IoU sits in the gate's dead zone."""
+    cfg = make_cfg()
+    prop = square_mask(cfg, 4, 12)
+    det = square_mask(cfg, 8, 16)   # IoU ~0.33: agree ramp ~0.08 alone
+    st = seeded_state(cfg, prop, score=0.3)         # decayed
+    st = st._replace(emb0=st.emb)                    # anchor = emb
+    dm, de, ds, dv = det_inputs(cfg, det, score=0.95)
+    out = associate_and_update(cfg, st, dm, de, ds, dv, st.masks)
+    # relax -> w ~= det^2/(det^2+trk^2) ~= 0.9: binarized mask is the det
+    got = np.asarray(out.masks[0]) > 0.5
+    np.testing.assert_array_equal(got, np.asarray(det) > 0.5)
+    assert float(out.score[0]) >= 0.9
+
+
+def test_conf_relax_blocked_when_better_anchor_candidate_free():
+    """The anchor gate: a wrong-object lock (some OTHER eligible det
+    anchor-matches the track better than its matched det) must NOT be
+    relax-adopted — the track keeps its propagated mask and decays
+    toward rescue instead of cementing the wrong object."""
+    cfg = make_cfg()
+    prop = square_mask(cfg, 4, 12)
+    wrong = square_mask(cfg, 8, 16)          # overlaps the track: matched
+    mh, mw = cfg.vos.track_mask_size
+    true_det = jnp.zeros((mh, mw)).at[12:16, 18:24].set(1.0)  # elsewhere
+    st = seeded_state(cfg, prop, score=0.3)
+    st = st._replace(emb0=st.emb)
+    d = cfg.vos.max_dets_per_frame
+    dm = jnp.zeros((d, mh, mw)).at[0].set(wrong).at[1].set(true_det)
+    # det 0 (matched, wrong object): anchor-orthogonal; det 1 (true
+    # object, free): anchor-aligned
+    de = jnp.zeros((d, 8)).at[0, 1].set(1.0).at[1, 0].set(1.0)
+    ds = jnp.zeros((d,)).at[0].set(0.95).at[1].set(0.95)
+    dv = jnp.zeros((d,), bool).at[0].set(True).at[1].set(True)
+    out, diag = associate_and_update(cfg, st, dm, de, ds, dv, st.masks,
+                                     return_diag=True)
+    assert bool(diag["matched"][0]) and int(diag["midx"][0]) == 0
+    assert float(diag["relax"][0]) == 0.0

@@ -300,6 +300,42 @@ class VOSCfg:
     # confident the detector is (confidence is uninformative when the
     # detector is wrong-but-sure; agreement is not).
     assoc_agreement_gate: Tuple[float, float] = (0.3, 0.7)
+    # Score-refresh ramp (r5, measured on heldout_1007 obj1): matching a
+    # detection used to refresh the track score to the FULL det score
+    # whenever the blend weight was merely nonzero (w > 0) — so a track
+    # wrong-object-locked with w flickering at 0.04-0.2 stayed "healthy"
+    # for 34 straight frames while its true object's det sat free at
+    # conf ~1.0, and score-armed rescue could not fire until f48. The
+    # refresh is now scaled by a linear ramp on the EFFECTIVE blend
+    # weight: below lo no refresh (pure decay), above hi the full det
+    # score. Healthy strong matches (w ~ 0.45-0.6 with these blend
+    # defaults) still refresh fully; starved or gated-off matches decay
+    # at score_decay (0.95: ~13 frames from 1.0 to the rescue threshold
+    # instead of never). (lo, hi) = (0.0, 1e-6) restores the legacy
+    # step-at-w>0 behavior.
+    assoc_refresh_ramp: Tuple[float, float] = (0.15, 0.45)
+    # Anchor-gated confidence relax of the agreement gate (r5, measured
+    # on heldout_1004 obj3 f24-32): when a track's own mask has degraded
+    # (propagation drift on the RIGHT object), its det-vs-prop IoU falls
+    # into the gate's dead zone and a confident correcting detection is
+    # throttled to w ~ 0.1 — the drift then compounds until the object
+    # is lost. When the matched det is (a) confident (>= rescue_det_conf),
+    # (b) more confident than the track by a gap inside this ramp, and
+    # (c) identity-safe — the track's BEST anchor-similarity candidate
+    # among eligible dets (a wrong-object lock fails this: its true
+    # object's free det anchor-matches better, see heldout_1007), with
+    # no rival alive track anchor-matching the det within rescue_margin
+    # (lookalike lost tracks must not be resolved by the greedy
+    # tie-break) and no healthy track's propagated mask overlapping it
+    # above rescue_territory_iou (unclaimed duplicate dets of healthy
+    # objects stay unadoptable during the true object's occlusion) —
+    # the agreement gate is relaxed toward 1 proportionally to the
+    # confidence gap: a decayed track trusts a confident, anchor-
+    # consistent detection (a soft rescue through the match path, no
+    # trust window needed). Part of the rescue family: inert when
+    # assoc_rescue is off.
+    assoc_conf_relax_gap: Tuple[float, float] = (0.15, 0.5)
+    assoc_conf_relax: bool = True
     # Drift rescue (re-identification): a track whose confidence has
     # decayed (no agreeing detection for many frames — the signature of
     # propagation drift) may be RE-ANCHORED outright to a confident,

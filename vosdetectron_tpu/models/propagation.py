@@ -400,6 +400,9 @@ def associate_and_update(cfg: Config, state: TrackState,
 
     matched = match >= 0
     midx = jnp.maximum(match, 0)
+    k = state.masks.shape[0]
+    anchor = state.emb0 if state.emb0 is not None else state.emb
+    sim0 = (anchor @ det_emb.T + 1.0) * 0.5                # (K, D)
     if v.assoc_blend:
         # Confidence- and agreement-gated blend (VERDICT r2 #3): the
         # matched detection's mask influence is (a) its confidence
@@ -418,6 +421,45 @@ def associate_and_update(cfg: Config, state: TrackState,
         lo, hi = v.assoc_agreement_gate
         q = iou[jnp.arange(iou.shape[0]), midx]
         agree = jnp.clip((q - lo) / max(hi - lo, 1e-6), 0.0, 1.0)
+        if v.assoc_conf_relax and v.assoc_rescue:
+            # Anchor-gated confidence relax (see config.assoc_conf_relax):
+            # a decayed track trusts a confident matched det PROVIDED the
+            # adoption would also survive the rescue stage's identity
+            # guards, expressed for the MATCHED det:
+            #   * best-candidate — the det is the track's best anchor-
+            #     similarity candidate among eligible dets (a wrong-
+            #     object lock fails: its true object's free det anchor-
+            #     matches better, heldout_1007);
+            #   * rival margin — no OTHER alive track anchor-matches this
+            #     det within rescue_margin (two lookalike lost tracks
+            #     must not be resolved by the greedy tie-break);
+            #   * territory — the det must not overlap another healthy
+            #     track's propagated mask (an unclaimed duplicate det of
+            #     a healthy object would otherwise be adopted during the
+            #     true object's occlusion).
+            eye = jnp.eye(k, dtype=bool)
+            elig0 = det_valid & (det_scores >= v.rescue_det_conf)
+            best0 = jnp.max(jnp.where(elig0[None, :], sim0, -jnp.inf),
+                            axis=1)
+            cur0 = sim0[jnp.arange(k), midx]
+            sim0_alive = jnp.where(state.alive[:, None], sim0, -jnp.inf)
+            rival0 = jnp.max(jnp.where(eye, -jnp.inf,
+                                       sim0_alive[:, midx]), axis=0)
+            healthy_pre = state.alive & (state.score >= v.rescue_track_conf)
+            iou_h = jnp.where(healthy_pre[:, None], iou, 0.0)
+            occ_rival = jnp.max(jnp.where(eye, 0.0, iou_h[:, midx]),
+                                axis=0)
+            anchor_ok = (cur0 + v.rescue_margin >= best0) \
+                & (cur0 - rival0 >= v.rescue_margin) \
+                & (occ_rival < v.rescue_territory_iou)
+            g0, g1 = v.assoc_conf_relax_gap
+            relax = jnp.clip((det_conf - trk_conf - g0)
+                             / max(g1 - g0, 1e-6), 0.0, 1.0)
+            relax = jnp.where(
+                anchor_ok & (det_conf >= v.rescue_det_conf), relax, 0.0)
+            agree = agree + (1.0 - agree) * relax
+            if return_diag:
+                diag.update(relax=relax)
         # Post-rescue trust window (negative miss counts it down): a just-
         # rescued track's propagation is exactly what failed for this
         # object, so gating detections on agreement with it re-loses the
@@ -452,11 +494,16 @@ def associate_and_update(cfg: Config, state: TrackState,
     # rescue stage arms within frames of a drift, not a dozen.
     decay = jnp.where(matched & (w > 0.1), v.score_decay,
                       v.score_decay_unsupported)
-    new_score = jnp.where(
-        matched,
-        jnp.maximum(jnp.where(w > 0, det_scores[midx], 0.0),
-                    state.score * decay),
-        state.score * decay)
+    # Refresh ramp (see config.assoc_refresh_ramp): the matched det's
+    # score refreshes the track's proportionally to the EFFECTIVE blend
+    # weight — a match whose mask influence was gated off must not keep
+    # certifying the track healthy (the wrong-object-lock signature).
+    rlo, rhi = v.assoc_refresh_ramp
+    refresh = det_scores[midx] * jnp.clip(
+        (w - rlo) / max(rhi - rlo, 1e-6), 0.0, 1.0)
+    new_score = jnp.where(matched,
+                          jnp.maximum(refresh, state.score * decay),
+                          state.score * decay)
     drift_out = state.drift
 
     if v.assoc_rescue and drift_out is None:
@@ -480,9 +527,7 @@ def associate_and_update(cfg: Config, state: TrackState,
         # the track's second-best candidate (margins, not absolute
         # similarity, discriminate identities — cosines of ReLU features
         # are uniformly high).
-        k, d = score.shape
-        anchor = state.emb0 if state.emb0 is not None else state.emb
-        sim0 = (anchor @ det_emb.T + 1.0) * 0.5            # (K, D)
+        d = score.shape[1]
         claimed = jnp.zeros((d,)).at[midx].max(
             jnp.where(matched & (w > 0.1), 1.0, 0.0)) > 0.5
         elig = det_valid & (det_scores >= v.rescue_det_conf)
