@@ -568,8 +568,10 @@ def test_conf_relax_adopts_confident_anchor_consistent_det():
     """Soft rescue through the match path (heldout_1004 obj3): a DECAYED
     track matched to a confident det that is its best anchor candidate
     has the agreement gate relaxed — the det mask dominates the update
-    even though det-vs-prop IoU sits in the gate's dead zone."""
-    cfg = make_cfg()
+    even though det-vs-prop IoU sits in the gate's dead zone. The
+    mechanism ships default-OFF (it cost heldout_1008 in the r5 sweep);
+    opt in explicitly to keep it exercised."""
+    cfg = make_cfg(assoc_conf_relax=True)
     prop = square_mask(cfg, 4, 12)
     det = square_mask(cfg, 8, 16)   # IoU ~0.33: agree ramp ~0.08 alone
     st = seeded_state(cfg, prop, score=0.3)         # decayed
@@ -587,7 +589,7 @@ def test_conf_relax_blocked_when_better_anchor_candidate_free():
     anchor-matches the track better than its matched det) must NOT be
     relax-adopted — the track keeps its propagated mask and decays
     toward rescue instead of cementing the wrong object."""
-    cfg = make_cfg()
+    cfg = make_cfg(assoc_conf_relax=True)
     prop = square_mask(cfg, 4, 12)
     wrong = square_mask(cfg, 8, 16)          # overlaps the track: matched
     mh, mw = cfg.vos.track_mask_size
@@ -605,3 +607,60 @@ def test_conf_relax_blocked_when_better_anchor_candidate_free():
                                      return_diag=True)
     assert bool(diag["matched"][0]) and int(diag["midx"][0]) == 0
     assert float(diag["relax"][0]) == 0.0
+
+
+def test_reid_embedding_raw_matches_masked_embedding():
+    cfg = make_cfg(emb_mode="raw")
+    from vosdetectron_tpu.models.propagation import (masked_embedding,
+                                                     reid_embedding)
+    mh, mw = cfg.vos.track_mask_size
+    key = __import__("jax").random.PRNGKey(0)
+    feat = __import__("jax").random.normal(key, (mh, mw, 8))
+    masks = jnp.zeros((2, mh, mw)).at[0, 2:8, 2:8].set(1.0) \
+        .at[1, 9:14, 12:20].set(1.0)
+    np.testing.assert_allclose(
+        np.asarray(reid_embedding(cfg, feat, masks)),
+        np.asarray(masked_embedding(feat, masks)), atol=1e-6)
+
+
+def test_reid_embedding_centering_spreads_cosines():
+    """ReLU-style all-positive features give uniformly high cosines
+    between DIFFERENT objects; scene-mean centering must spread them
+    (the wrong-lone-candidate rescue failure, heldout_1009)."""
+    from vosdetectron_tpu.models.propagation import reid_embedding
+    cfg_raw = make_cfg(emb_mode="raw")
+    cfg_c = make_cfg(emb_mode="centered")
+    mh, mw = cfg_raw.vos.track_mask_size
+    # shared positive base activation + small object-specific deviations
+    base = jnp.ones((mh, mw, 8)) * 3.0
+    feat = base.at[2:8, 2:8, 0].add(1.0).at[9:14, 12:20, 1].add(1.0)
+    masks = jnp.zeros((2, mh, mw)).at[0, 2:8, 2:8].set(1.0) \
+        .at[1, 9:14, 12:20].set(1.0)
+
+    def cos01(e):
+        return float((e[0] @ e[1] + 1.0) * 0.5)
+
+    raw = cos01(reid_embedding(cfg_raw, feat, masks))
+    cen = cos01(reid_embedding(cfg_c, feat, masks))
+    assert raw > 0.9            # the failure mode: wrong pairs look alike
+    assert cen < raw - 0.3      # centering separates them decisively
+
+
+def test_reid_embedding_color_discriminates_same_shape_objects():
+    """Two identically-shaped objects over identical features but with
+    different colors must separate under centered_color."""
+    from vosdetectron_tpu.models.propagation import (reid_embedding,
+                                                     reid_embedding_dim)
+    cfg = make_cfg(emb_mode="centered_color")
+    mh, mw = cfg.vos.track_mask_size
+    feat = jnp.ones((mh, mw, 8))      # featureless: centering zeroes it
+    img = jnp.zeros((mh, mw, 3)).at[2:8, 2:8, 0].set(90.0) \
+        .at[9:14, 12:20, 2].set(90.0)  # object 0 blue-ish, object 1 red-ish
+    masks = jnp.zeros((2, mh, mw)).at[0, 2:8, 2:8].set(1.0) \
+        .at[1, 9:14, 12:20].set(1.0)
+    e = reid_embedding(cfg, feat, masks, img)
+    assert e.shape[-1] == reid_embedding_dim(cfg, 8) == 14
+    sim01 = float((e[0] @ e[1] + 1.0) * 0.5)
+    self_sim = float((e[0] @ e[0] + 1.0) * 0.5)
+    assert self_sim > 0.99
+    assert sim01 < 0.75   # different colors -> clearly below self-sim

@@ -91,7 +91,6 @@ def main():
     from vosdetectron_tpu.engine.inference import (postprocess_boxes,
                                                    select_class_masks)
     from vosdetectron_tpu.models.generalized_rcnn import GeneralizedRCNN
-    from vosdetectron_tpu.models.propagation import masked_embedding
 
     eng = VOSEngine(cfg, params=params, rng=0, chunk=16,
                     prop_params=prop_params)
@@ -158,14 +157,24 @@ def main():
         return select_class_masks(ml, dets.classes)
 
     @jax.jit
-    def f_lowres(dets, masks, feats):
+    def f_lowres(dets, masks, feats, imgs):
+        from vosdetectron_tpu.models.propagation import reid_embedding
+
         det_masks_lr = jax.vmap(eng._det_lowres)(dets.boxes, masks)
         feat = feats[1] if cfg.fpn.enabled else feats[0]
         mh, mw = cfg.vos.track_mask_size
         feat_lr = jax.vmap(lambda f: jax.image.resize(
             f.astype(jnp.bfloat16), (mh, mw, f.shape[-1]), "linear"
         ).astype(jnp.float32))(feat)
-        det_emb = jax.vmap(masked_embedding)(feat_lr, det_masks_lr)
+        if cfg.vos.emb_mode == "centered_color":
+            stds = jnp.asarray(cfg.data.pixel_stds, jnp.float32)
+            img_lr = jax.vmap(lambda im: jax.image.resize(
+                im, (mh, mw, 3), "linear"))(imgs) * stds
+            det_emb = jax.vmap(lambda f, m, im: reid_embedding(
+                cfg, f, m, im))(feat_lr, det_masks_lr, img_lr)
+        else:
+            det_emb = jax.vmap(lambda f, m: reid_embedding(
+                cfg, f, m))(feat_lr, det_masks_lr)
         return det_masks_lr, det_emb
 
     @jax.jit
@@ -207,7 +216,7 @@ def main():
     rows.append(("trunk+rpn+postprocess", t))
     t, masks = bench_fn(f_mask, feats, dets)
     rows.append(("mask branch", t))
-    t, (dm_lr, de) = bench_fn(f_lowres, dets, masks, feats)
+    t, (dm_lr, de) = bench_fn(f_lowres, dets, masks, feats, imgs)
     rows.append(("lowres paste+embed", t))
     t, det_out = bench_fn(f_detect, buf)
     rows.append(("detect_chunk (fused A)", t))

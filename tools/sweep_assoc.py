@@ -111,32 +111,13 @@ def main():
     ph, pw = cfg.test.padded_image_size
     out_hw = (ph // den, pw // den)
 
-    # ---- one detection pass per sequence; outputs stay on device
-    print("detecting (once per sequence)...", file=sys.stderr, flush=True)
-    seqs = []
-    for i in range(args.seqs):
-        seed = args.seed0 + i
-        frames, idmaps = make_synthetic_sequence(
-            seed, num_frames=args.frames, size=(480, 854),
-            num_objects=args.objects, hardness=args.hardness)
-        pseq = eng.prepare_sequence(frames, idmaps[0])
-        chunks, base = [], None
-        for fut in pseq.chunk_futs:
-            buf = eng._resolve_chunk(fut.result(), base)
-            base = buf[-1]
-            det = eng._detect_chunk(eng.params, buf, pseq.scale,
-                                    eng.prop_params, (pseq.h0, pseq.w0))
-            chunks.append(det)
-        jax.tree_util.tree_map(
-            lambda a: a.block_until_ready(), chunks[-1])
-        seqs.append(dict(seed=seed, chunks=chunks, state0=pseq.state,
-                         gts=list(idmaps), h0=pseq.h0, w0=pseq.w0,
-                         scale=pseq.scale,
-                         first_gt=pseq.first_frame_gt))
-        print(f"  seq {seed}: {len(chunks)} chunks", file=sys.stderr,
-              flush=True)
-
-    pack = eng._pack_gate(seqs[0]["first_gt"], out_hw)
+    # ---- per-sequence: one detection pass, then every variant's
+    # recurrence over the SAME on-device detections. Holding all
+    # sequences' detections at once OOMs the 16 GB HBM (~450 MB/seq of
+    # det masks + prop inputs next to the detector params), so the
+    # sequence loop is outermost and each sequence's buffers are freed
+    # before the next detection pass.
+    pack = None
 
     # ---- per-variant recurrence scan (Phase B of _scan_chunk)
     def make_recur(cfg_v):
@@ -162,35 +143,56 @@ def main():
 
         return recur
 
-    results = {}
+    recurs = {}
     for name, vover in variants.items():
         cfg_v = apply_overrides(
             cfg, [(f"vos.{k}", tuple(v) if isinstance(v, list) else v)
                   for k, v in vover.items()]).validate()
-        recur = make_recur(cfg_v)
-        rows = []
-        for s in seqs:
-            state = s["state0"]
+        recurs[name] = make_recur(cfg_v)
+
+    per_variant = {name: [] for name in variants}
+    for i in range(args.seqs):
+        seed = args.seed0 + i
+        frames, idmaps = make_synthetic_sequence(
+            seed, num_frames=args.frames, size=(480, 854),
+            num_objects=args.objects, hardness=args.hardness)
+        pseq = eng.prepare_sequence(frames, idmaps[0])
+        if pack is None:
+            pack = eng._pack_gate(pseq.first_frame_gt, out_hw)
+        chunks, base = [], None
+        for fut in pseq.chunk_futs:
+            buf = eng._resolve_chunk(fut.result(), base)
+            base = buf[-1]
+            chunks.append(eng._detect_chunk(
+                eng.params, buf, pseq.scale, eng.prop_params,
+                (pseq.h0, pseq.w0)))
+        del buf, base
+        nh = int(round(pseq.h0 * pseq.scale))
+        nw = int(round(pseq.w0 * pseq.scale))
+        for name, recur in recurs.items():
+            state = pseq.state
             downloads = []
-            for det in s["chunks"]:
+            for det in chunks:
                 state, ids = recur(state, *det)
                 downloads.append(eng._down_pool.submit(
                     lambda a: _unpack_ids4(np.asarray(a)) if pack
                     else np.asarray(a), ids))
             idm = np.concatenate([f.result() for f in downloads]
                                  )[:args.frames]
-            nh = int(round(s["h0"] * s["scale"]))
-            nw = int(round(s["w0"] * s["scale"]))
             preds = []
             for fr in range(args.frames):
                 m = idm[fr][:nh // den, :nw // den].astype(np.uint8)
-                preds.append(cv2.resize(m, (s["w0"], s["h0"]),
+                preds.append(cv2.resize(m, (pseq.w0, pseq.h0),
                                         interpolation=cv2.INTER_NEAREST))
-            preds[0] = s["first_gt"].astype(np.uint8)
-            res = evaluate_sequence(preds, s["gts"])
-            rows.append((s["seed"], res["J&F"]))
-            print(f"  [{name}] {s['seed']}: J&F={res['J&F']:.3f}",
+            preds[0] = pseq.first_frame_gt.astype(np.uint8)
+            res = evaluate_sequence(preds, list(idmaps))
+            per_variant[name].append((seed, res["J&F"]))
+            print(f"  [{name}] {seed}: J&F={res['J&F']:.3f}",
                   file=sys.stderr, flush=True)
+        del chunks, pseq
+
+    results = {}
+    for name, rows in per_variant.items():
         mean = float(np.mean([r[1] for r in rows]))
         results[name] = {"mean_JF": round(mean, 4),
                          "per_seq": {str(k): round(v, 4)

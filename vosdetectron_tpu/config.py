@@ -300,20 +300,20 @@ class VOSCfg:
     # confident the detector is (confidence is uninformative when the
     # detector is wrong-but-sure; agreement is not).
     assoc_agreement_gate: Tuple[float, float] = (0.3, 0.7)
-    # Score-refresh ramp (r5, measured on heldout_1007 obj1): matching a
-    # detection used to refresh the track score to the FULL det score
-    # whenever the blend weight was merely nonzero (w > 0) — so a track
-    # wrong-object-locked with w flickering at 0.04-0.2 stayed "healthy"
-    # for 34 straight frames while its true object's det sat free at
-    # conf ~1.0, and score-armed rescue could not fire until f48. The
-    # refresh is now scaled by a linear ramp on the EFFECTIVE blend
-    # weight: below lo no refresh (pure decay), above hi the full det
-    # score. Healthy strong matches (w ~ 0.45-0.6 with these blend
-    # defaults) still refresh fully; starved or gated-off matches decay
-    # at score_decay (0.95: ~13 frames from 1.0 to the rescue threshold
-    # instead of never). (lo, hi) = (0.0, 1e-6) restores the legacy
-    # step-at-w>0 behavior.
-    assoc_refresh_ramp: Tuple[float, float] = (0.15, 0.45)
+    # Score-refresh ramp: the matched det's score refreshes the track's
+    # scaled by a linear ramp on the EFFECTIVE blend weight (below lo no
+    # refresh, above hi the full det score); the default (0.0, 1e-6) is
+    # the legacy step-at-w>0 (any nonzero-weight match refreshes fully).
+    # MEASURED AND REJECTED as a default (r5, tools/sweep_assoc.py on
+    # shared detections): (0.15, 0.45) fixes the wrong-object-lock dead
+    # window (heldout_1007 obj1: w flickering at 0.04-0.2 kept a drifted
+    # track "healthy" for 34 frames, +0.04..+0.08 J&F there) but turns
+    # detector flicker during object crossings into early losses whose
+    # rescue gambles wrong (heldout_1009: 0.77 -> 0.42, an identity swap
+    # cemented by a wrong lone-candidate rescue — under BOTH raw and
+    # centered_color embeddings), netting mean 0.787 -> 0.753. Opt in
+    # per-run for content where wrong-object locks dominate crossings.
+    assoc_refresh_ramp: Tuple[float, float] = (0.0, 1e-6)
     # Anchor-gated confidence relax of the agreement gate (r5, measured
     # on heldout_1004 obj3 f24-32): when a track's own mask has degraded
     # (propagation drift on the RIGHT object), its det-vs-prop IoU falls
@@ -333,9 +333,12 @@ class VOSCfg:
     # confidence gap: a decayed track trusts a confident, anchor-
     # consistent detection (a soft rescue through the match path, no
     # trust window needed). Part of the rescue family: inert when
-    # assoc_rescue is off.
+    # assoc_rescue is off. MEASURED AND REJECTED as a default (r5,
+    # tools/sweep_assoc.py): ~neutral on the motivating sequences but
+    # deterministically costs heldout_1008 ~0.02-0.10 (an adoption the
+    # guards don't catch), netting mean -0.003..-0.010. Opt-in.
     assoc_conf_relax_gap: Tuple[float, float] = (0.15, 0.5)
-    assoc_conf_relax: bool = True
+    assoc_conf_relax: bool = False
     # Drift rescue (re-identification): a track whose confidence has
     # decayed (no agreeing detection for many frames — the signature of
     # propagation drift) may be RE-ANCHORED outright to a confident,
@@ -418,6 +421,22 @@ class VOSCfg:
     # Track state masks kept at low resolution for the scan carry.
     track_mask_size: Tuple[int, int] = (120, 216)
     emb_dim: int = 128
+    # Re-id embedding construction (models/propagation.reid_embedding):
+    # "raw" = mask-pooled FPN features as-is (legacy; ReLU features make
+    # cross-object cosines uniformly 0.8-0.99, so only margins
+    # discriminate and a lone wrong rescue candidate passes trivially —
+    # measured anchor-sim 0.90 on a wrong re-anchor, heldout_1009);
+    # "centered" = scene-mean-subtracted features (cosines spread, wrong
+    # objects fall toward/below the 0.5 uncorrelated point);
+    # "centered_color" = centered features + mask-weighted color moments
+    # (mean+std per channel), an L2 block weighted by emb_color_weight —
+    # color is a training-free re-id cue that survives mask degradation.
+    # DEFAULT centered_color (r5 sweep: mean J&F equal to raw on the
+    # held-out set, +0.01 on heldout_1008, and the similarity
+    # distribution rescue thresholds assume — sims spread instead of
+    # bunching at 0.8-0.99 — holds by construction, not by luck).
+    emb_mode: str = "centered_color"
+    emb_color_weight: float = 1.0
     new_track_thresh: float = 0.7  # detection score to spawn a track (unsup)
     semi_supervised: bool = True  # DAVIS protocol: first-frame GT instances
     miss_tolerance: int = 10  # frames a track may go unmatched before retire

@@ -30,7 +30,8 @@ from ..models.generalized_rcnn import GeneralizedRCNN
 from ..models.propagation import (PropagationHead, TrackState,
                                   make_propagation_head,
                                   associate_and_update, empty_track_state,
-                                  init_propagation_params, masked_embedding,
+                                  init_propagation_params, reid_embedding,
+                                  reid_embedding_dim,
                                   propagate_identity, render_indexed,
                                   render_indexed_pallas)
 from ..ops.mask_paste import paste_masks_in_image
@@ -299,7 +300,11 @@ class VOSEngine:
         # measured 2026-08-18, it turned a 28 ms extract_feats into 3.8 s
         # and capped the whole pipeline at ~3 f/s in 30 MB/s weather.
         self.params = jax.device_put(params, jax.local_devices()[0])
-        self.emb_dim = cfg.fpn.dim if cfg.fpn.enabled else 1024
+        # feat_dim: backbone feature channels (prop-head input width);
+        # emb_dim: re-id embedding width (feat_dim + color moments when
+        # vos.emb_mode == "centered_color") — the TrackState emb size.
+        self.feat_dim = cfg.fpn.dim if cfg.fpn.enabled else 1024
+        self.emb_dim = reid_embedding_dim(cfg, self.feat_dim)
         self.prop_head = make_propagation_head(cfg)
         self.learned_prop = self.prop_head is not None
         self.prop_params = prop_params
@@ -307,7 +312,7 @@ class VOSEngine:
             if self.prop_params is None:
                 self.prop_params = init_propagation_params(
                     cfg, self.prop_head, jax.random.PRNGKey(rng),
-                    self.emb_dim)
+                    self.feat_dim)
             self.prop_params = jax.device_put(self.prop_params,
                                               jax.local_devices()[0])
         # Persistent transfer pools: device_put over the host<->device link
@@ -411,16 +416,27 @@ class VOSEngine:
             return f_lr.astype(jnp.float32)
 
         feat_lr = jax.vmap(per_frame_lr)(feat)           # (C, mh, mw, Cf)
-        det_emb = jax.vmap(masked_embedding)(feat_lr, det_masks_lr)
 
-        prop_inp = None
-        if self.learned_prop:
-            # frame_input expects mean-subtracted UNIT-stds images (the
-            # head's own 1/64 scaling assumes it); undo cfg pixel_stds so
-            # one head checkpoint works under any preprocessing config.
+        # low-res image: the prop head's frame_input and the color block
+        # of the re-id embedding both want mean-subtracted UNIT-stds
+        # pixels with the cfg stds multiplied back (raw-minus-mean BGR),
+        # so one head checkpoint / one embedding definition works under
+        # any preprocessing config.
+        img_lr = None
+        if self.learned_prop or cfg.vos.emb_mode == "centered_color":
             stds = jnp.asarray(cfg.data.pixel_stds, jnp.float32)
             img_lr = jax.vmap(lambda im: jax.image.resize(
                 im, (mh, mw, 3), "linear"))(imgs) * stds  # (C, mh, mw, 3)
+
+        if cfg.vos.emb_mode == "centered_color":
+            det_emb = jax.vmap(lambda f, m, im: reid_embedding(
+                cfg, f, m, im))(feat_lr, det_masks_lr, img_lr)
+        else:
+            det_emb = jax.vmap(lambda f, m: reid_embedding(
+                cfg, f, m))(feat_lr, det_masks_lr)
+
+        prop_inp = None
+        if self.learned_prop:
             prop_inp = jax.vmap(
                 lambda i, f: self.prop_head.apply(
                     {"params": prop_params}, i, f,
@@ -651,12 +667,14 @@ class VOSEngine:
         mh, mw = cfg.vos.track_mask_size
         feat_lr = jax.image.resize(feat[0].astype(jnp.float32),
                                    (mh, mw, feat.shape[-1]), "linear")
-        emb = masked_embedding(feat_lr, gt_masks_lr)
-        pfeat = None
-        if self.learned_prop:
-            # unit-stds input for the head (see _detect_chunk)
+        img_lr = None
+        if self.learned_prop or cfg.vos.emb_mode == "centered_color":
+            # unit-stds input for the head / color block (see _detect_chunk)
             img_lr = jax.image.resize(image, (mh, mw, 3), "linear") \
                 * jnp.asarray(cfg.data.pixel_stds, jnp.float32)
+        emb = reid_embedding(cfg, feat_lr, gt_masks_lr, img_lr)
+        pfeat = None
+        if self.learned_prop:
             pfeat = self.prop_head.apply(
                 {"params": prop_params}, img_lr, feat_lr,
                 method=type(self.prop_head).frame_input)

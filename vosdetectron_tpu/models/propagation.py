@@ -95,6 +95,66 @@ def masked_embedding(feat: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
     return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-6)
 
 
+def reid_embedding(cfg: Config, feat: jnp.ndarray, masks: jnp.ndarray,
+                   img: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Re-identification embedding, dispatched on cfg.vos.emb_mode.
+
+    "raw": masked_embedding as-is. Its weakness, measured on the held-out
+    rescue traces: ReLU backbone features are all-positive, so cosines
+    between DIFFERENT objects run 0.8-0.99 (a wrong lone rescue candidate
+    scored anchor-sim 0.90 on heldout_1009) — only margins discriminate,
+    and margins are mute for a lone candidate.
+
+    "centered": the feature map's spatial mean (the scene-common
+    component every pooled vector shares) is subtracted BEFORE pooling,
+    so the embedding is the object's deviation from the scene — cosines
+    spread over [-1, 1] and wrong-object similarities drop toward and
+    below the (cos+1)/2 = 0.5 uncorrelated point, giving rescue_sim
+    real discriminative work.
+
+    "centered_color": additionally concatenates mask-weighted color
+    moments (mean + std per BGR channel of the mean-subtracted image at
+    track resolution, O(1)-scaled) as an L2-normalized block weighted
+    by vos.emb_color_weight. With both blocks unit-norm, the combined
+    cosine is the weight-squared-average of the feature and color
+    cosines. Color is a strong, propagation-independent re-id cue (the
+    reference's appearance re-id uses learned features only; color
+    moments need no training and survive mask degradation).
+
+    img: (h, w, 3) mean-subtracted BGR at mask resolution (pixel-means
+    removed; any pixel_stds already multiplied back), required for
+    "centered_color".
+    """
+    mode = cfg.vos.emb_mode
+    if mode == "raw":
+        return masked_embedding(feat, masks)
+    w = masks[..., None]  # (N, h, w, 1)
+    den = jnp.maximum(w.sum(axis=(1, 2)), 1e-6)
+    f = feat - feat.mean(axis=(0, 1), keepdims=True)
+    e = (w * f[None]).sum(axis=(1, 2)) / den
+    e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-6)
+    if mode == "centered":
+        return e
+    if mode != "centered_color":
+        raise ValueError(f"unknown vos.emb_mode: {mode!r}")
+    if img is None:
+        raise ValueError("emb_mode=centered_color needs the low-res image")
+    cm = (w * img[None]).sum(axis=(1, 2)) / den            # (N, 3)
+    c2 = (w * img[None] ** 2).sum(axis=(1, 2)) / den - cm ** 2
+    col = jnp.concatenate([cm, jnp.sqrt(jnp.maximum(c2, 0.0))],
+                          axis=-1) * (1.0 / 128.0)
+    col = col / jnp.maximum(jnp.linalg.norm(col, axis=-1, keepdims=True),
+                            1e-6)
+    out = jnp.concatenate([e, col * cfg.vos.emb_color_weight], axis=-1)
+    return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True),
+                             1e-6)
+
+
+def reid_embedding_dim(cfg: Config, feat_dim: int) -> int:
+    """Embedding width for empty_track_state under cfg.vos.emb_mode."""
+    return feat_dim + (6 if cfg.vos.emb_mode == "centered_color" else 0)
+
+
 def greedy_assignment(score: jnp.ndarray, row_valid: jnp.ndarray,
                       col_valid: jnp.ndarray,
                       thresh: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
